@@ -1,0 +1,348 @@
+"""MVT tile decoder: bytes -> layers -> features.
+
+From-scratch re-creation of the reference read path:
+
+- tile/layer frame parse + dictionaries  (read_tile.go:20-44, read_layer.go:31-152)
+- feature parse (id/tags/type/geometry)  (read_feature_lazy.go:66-134)
+- command-stream walk, ring->polygon assembly, inverse projection
+  (read_tile.go:228-340, read_feature_lazy.go:162-291)
+
+DOCUMENTED DEVIATION: the reference decodes every MoveTo after the first as
+an *absolute* position for geom types 1 and 3 (read_tile.go:231-235), which
+contradicts both the MVT spec and its own encoder (the cursor carries across
+rings/parts on write, write_geometry.go:242-247). This decoder follows the
+spec — the cursor continues across all parts for all types — so that
+decode(encode(x)) is the identity on quantized geometry; the reference's
+round-trip tests only exercised decoded-feature equivalence, which this
+preserves. It also handles MoveTo runs with count > 1 (MultiPoint headers,
+cmd 0x11 etc.), which the reference's literal ``geom[pos] == 9`` check
+(read_tile.go:229) cannot parse.
+
+Laziness: the reference's lazy Feature defers geometry decode until
+LoadGeometry (read_feature_lazy.go:66-134). Here the same work-avoidance is
+achieved by *mode* — 'props' skips geometry entirely, 'int' skips the
+inverse projection, 'lnglat' does the full job — chosen by the Spark layer
+from the query's projected columns (Catalyst column pruning).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import tilemath as tm
+from .values import read_value
+from .wire import read_key, read_varint, varint_decode_all
+
+GEOM_TYPE_NAME = {1: "Point", 2: "LineString", 3: "Polygon"}
+
+
+@dataclass
+class LayerFrame:
+    """Parsed layer header: the reference's lazy Layer (read_layer.go:11-26).
+
+    ``feature_spans`` are byte ranges into ``buf`` — features stay undecoded
+    until asked for, mirroring the byte-offset slice at read_layer.go:50-54."""
+    name: str
+    extent: int
+    version: int
+    keys: list
+    values: list
+    feature_spans: list  # (start, end) byte offsets of feature bodies
+    buf: bytes
+    start: int = 0
+    end: int = 0
+
+
+@dataclass
+class DecodedFeature:
+    feature_id: int | None
+    geom_type: int
+    properties: dict
+    # geometry as flat arrays: all points concatenated; ring_lens = points
+    # per ring/part; poly_ring_counts = rings per polygon (type 3 only)
+    xs: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    ys: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    ring_lens: list = field(default_factory=list)
+    poly_ring_counts: list = field(default_factory=list)
+    geojson_type: str = ""
+
+    def rings(self):
+        """Yield (n, 2) arrays per ring/part."""
+        off = 0
+        for ln in self.ring_lens:
+            yield np.stack([self.xs[off:off + ln], self.ys[off:off + ln]], axis=1)
+            off += ln
+
+    def coordinates(self):
+        """Nested-list GeoJSON coordinates for the inferred geojson_type."""
+        rings = [r.tolist() for r in self.rings()]
+        t = self.geojson_type
+        if t == "Point":
+            return rings[0][0]
+        if t == "MultiPoint":
+            return rings[0]
+        if t == "LineString":
+            return rings[0]
+        if t == "MultiLineString":
+            return rings
+        if t == "Polygon":
+            return rings
+        if t == "MultiPolygon":
+            out, off = [], 0
+            for c in self.poly_ring_counts:
+                out.append(rings[off:off + c])
+                off += c
+            return out
+        return rings
+
+
+def parse_tile(buf: bytes) -> list[LayerFrame]:
+    """NewTile (read_tile.go:20-44): parse only layer frames, lazily."""
+    layers = []
+    pos, n = 0, len(buf)
+    while pos < n:
+        fieldno, wt, pos = read_key(buf, pos)
+        if fieldno == 3 and wt == 2:
+            size, pos = read_varint(buf, pos)
+            layers.append(parse_layer(buf, pos, pos + size))
+            pos += size
+        elif wt == 0:
+            _, pos = read_varint(buf, pos)
+        elif wt == 2:
+            size, pos = read_varint(buf, pos)
+            pos += size
+        elif wt == 5:
+            pos += 4
+        elif wt == 1:
+            pos += 8
+        else:
+            break
+    return layers
+
+
+def parse_layer(buf: bytes, pos: int, end: int) -> LayerFrame:
+    """NewLayer (read_layer.go:31-152): single pass collecting name, feature
+    byte spans (bodies skipped), key strings, value variants, extent, version."""
+    name, extent, version = "", 4096, 2
+    keys, values, spans = [], [], []
+    start = pos
+    while pos < end:
+        fieldno, wt, pos = read_key(buf, pos)
+        if fieldno == 1 and wt == 2:
+            n, pos = read_varint(buf, pos)
+            name = buf[pos:pos + n].decode("utf-8", "replace")
+            pos += n
+        elif fieldno == 2 and wt == 2:
+            n, pos = read_varint(buf, pos)
+            spans.append((pos, pos + n))
+            pos += n
+        elif fieldno == 3 and wt == 2:
+            n, pos = read_varint(buf, pos)
+            keys.append(buf[pos:pos + n].decode("utf-8", "replace"))
+            pos += n
+        elif fieldno == 4 and wt == 2:
+            n, pos = read_varint(buf, pos)
+            values.append(read_value(buf, pos, pos + n))
+            pos += n
+        elif fieldno == 5 and wt == 0:
+            extent, pos = read_varint(buf, pos)
+        elif fieldno == 15 and wt == 0:
+            version, pos = read_varint(buf, pos)
+        elif wt == 0:
+            _, pos = read_varint(buf, pos)
+        elif wt == 2:
+            n, pos = read_varint(buf, pos)
+            pos += n
+        elif wt == 5:
+            pos += 4
+        elif wt == 1:
+            pos += 8
+        else:
+            break
+    if not extent:
+        extent = 4096  # read_layer.go:145-147 default
+    return LayerFrame(name, extent, version, keys, values, spans, buf, start, end)
+
+
+def decode_geometry_cmds(cmds: np.ndarray, geom_type: int):
+    """Command stream -> (xs, ys, ring_lens) in tile-int coords.
+
+    Spec-correct walk: the cursor carries across all MoveTo/LineTo runs (see
+    module docstring for the deviation from read_tile.go:231-235). Zigzag
+    per DeltaDim (read_feature_lazy.go:24-31); counts are trusted but
+    clipped to the available parameter pairs (corrupt-tolerant like the
+    reference's ``pos+1 < len(geom)`` guard, read_tile.go:250)."""
+    cmds = np.asarray(cmds, dtype=np.uint32)
+    n = len(cmds)
+    xs_parts, ys_parts, ring_lens = [], [], []
+    pos = 0
+    cx = cy = 0.0
+    cur_x: list = []
+    cur_y: list = []
+
+    def flush_part():
+        if cur_x:
+            xs_parts.append(np.array(cur_x))
+            ys_parts.append(np.array(cur_y))
+            ring_lens.append(len(cur_x))
+            cur_x.clear()
+            cur_y.clear()
+
+    while pos < n:
+        cmd = int(cmds[pos])
+        cmd_id = cmd & 0x7
+        count = cmd >> 3
+        pos += 1
+        if cmd_id == 1:  # MoveTo: starts a new part
+            flush_part()
+            avail = min(count, (n - pos) // 2)
+            d = tm.zigzag_decode(cmds[pos:pos + avail * 2])
+            pos += avail * 2
+            for i in range(avail):
+                cx += d[2 * i]
+                cy += d[2 * i + 1]
+                cur_x.append(cx)
+                cur_y.append(cy)
+        elif cmd_id == 2:  # LineTo: extends the current part
+            avail = min(count, (n - pos) // 2)
+            d = tm.zigzag_decode(cmds[pos:pos + avail * 2])
+            pos += avail * 2
+            dx = np.cumsum(d[0::2]) + cx
+            dy = np.cumsum(d[1::2]) + cy
+            cur_x.extend(dx.tolist())
+            cur_y.extend(dy.tolist())
+            if avail:
+                cx, cy = float(dx[-1]), float(dy[-1])
+        elif cmd_id == 7:  # ClosePath: ring boundary (closing point implied)
+            pass
+        else:  # unknown command: skip (corrupt-tolerant)
+            pass
+    flush_part()
+    if not xs_parts:
+        return np.zeros(0), np.zeros(0), []
+    return np.concatenate(xs_parts), np.concatenate(ys_parts), ring_lens
+
+
+def _signed_area(ring: np.ndarray) -> float:
+    """SignedArea (read_feature_lazy.go:34-51): shoelace with wrap term; the
+    ring includes its closing duplicate point."""
+    x, y = ring[:, 0], ring[:, 1]
+    xj = np.roll(x, 1)
+    yj = np.roll(y, 1)
+    return float(np.sum((xj - x) * (y + yj)))
+
+
+def decode_feature(layer: LayerFrame, span, mode: str = "lnglat",
+                   z: int = 0, x: int = 0, y: int = 0) -> DecodedFeature | None:
+    """Decode one feature body. mode: 'props' | 'int' | 'lnglat'."""
+    buf = layer.buf
+    pos, end = span
+    fid = None
+    geom_type = 0
+    props: dict = {}
+    geom_span = None
+    while pos < end:
+        fieldno, wt, pos = read_key(buf, pos)
+        if fieldno == 1 and wt == 0:
+            fid, pos = read_varint(buf, pos)
+        elif fieldno == 2 and wt == 2:
+            n, pos = read_varint(buf, pos)
+            tags = varint_decode_all(np.frombuffer(buf, np.uint8, n, pos))
+            pos += n
+            # dictionary join; out-of-range -> "" (read_tile.go:193-204)
+            for i in range(0, len(tags) - 1, 2):
+                ki, vi = int(tags[i]), int(tags[i + 1])
+                k = layer.keys[ki] if ki < len(layer.keys) else ""
+                v = layer.values[vi] if vi < len(layer.values) else ""
+                props[k] = v
+        elif fieldno == 3 and wt == 0:
+            geom_type, pos = read_varint(buf, pos)
+        elif fieldno == 4 and wt == 2:
+            n, pos = read_varint(buf, pos)
+            geom_span = (pos, pos + n)
+            pos += n
+        elif wt == 0:
+            _, pos = read_varint(buf, pos)
+        elif wt == 2:
+            n, pos = read_varint(buf, pos)
+            pos += n
+        else:
+            break
+    feat = DecodedFeature(feature_id=fid if fid else None,
+                          geom_type=geom_type, properties=props)
+    if mode == "props" or geom_span is None:
+        feat.geojson_type = GEOM_TYPE_NAME.get(geom_type, "")
+        return feat
+    cmds = varint_decode_all(
+        np.frombuffer(buf, np.uint8, geom_span[1] - geom_span[0], geom_span[0]))
+    xs, ys, ring_lens = decode_geometry_cmds(cmds, geom_type)
+    feat.xs, feat.ys, feat.ring_lens = xs, ys, ring_lens
+
+    if geom_type == 3:
+        _assemble_polygons(feat)
+    else:
+        _infer_simple_type(feat)
+
+    if mode == "lnglat" and len(feat.xs):
+        feat.xs, feat.ys = tm.project_tile_to_lnglat(
+            feat.xs, feat.ys, z, x, y, layer.extent)
+    return feat
+
+
+def _infer_simple_type(feat: DecodedFeature):
+    """Geom-type inference for types 1/2 (read_tile.go:318-332)."""
+    if feat.geom_type == 1:
+        npts = int(len(feat.xs))
+        feat.ring_lens = [npts] if npts else []
+        feat.geojson_type = "Point" if npts == 1 else "MultiPoint"
+    elif feat.geom_type == 2:
+        feat.geojson_type = ("LineString" if len(feat.ring_lens) <= 1
+                             else "MultiLineString")
+    else:
+        feat.geojson_type = ""
+
+
+def _assemble_polygons(feat: DecodedFeature):
+    """Ring -> polygon assembly (read_tile.go:278-307): close unclosed rings,
+    then rings with SignedArea < 0 start a new polygon; >= 0 append as hole
+    to the previous polygon (sign inverted vs write side: the y-axis flips)."""
+    rings = list(feat.rings())
+    closed = []
+    for r in rings:
+        if len(r) and (r[0, 0] != r[-1, 0] or r[0, 1] != r[-1, 1]):
+            r = np.vstack([r, r[:1]])
+        closed.append(r)
+    if len(closed) == 1:
+        groups = [1]
+    else:
+        groups = []
+        for r in closed:
+            if not len(r):
+                continue
+            if _signed_area(r) < 0 or not groups:
+                groups.append(1)
+            else:
+                groups[-1] += 1
+    feat.xs = np.concatenate([r[:, 0] for r in closed]) if closed else np.zeros(0)
+    feat.ys = np.concatenate([r[:, 1] for r in closed]) if closed else np.zeros(0)
+    feat.ring_lens = [len(r) for r in closed]
+    feat.poly_ring_counts = groups
+    feat.geojson_type = "Polygon" if len(groups) == 1 else "MultiPolygon"
+
+
+def decode_tile(buf: bytes, z: int = 0, x: int = 0, y: int = 0,
+                mode: str = "lnglat", layers: list[str] | None = None):
+    """ReadTile (read_tile.go:77-359): full decode of every feature of every
+    layer. Returns list of (layer_name, DecodedFeature). ``layers`` filters
+    by name without touching other layers' bytes (lazy-scan pruning)."""
+    out = []
+    for lf in parse_tile(buf):
+        if layers is not None and lf.name not in layers:
+            continue
+        for span in lf.feature_spans:
+            f = decode_feature(lf, span, mode, z, x, y)
+            if f is not None:
+                out.append((lf.name, f))
+    return out
