@@ -1,0 +1,89 @@
+"""End-to-end Spark pipeline tests at sf0.001: pages -> extraction -> tiles
+-> MVT encode -> decode, plus the driver-contract entry points."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pages_shape(spark, sf_dir):
+    from vector_tile_go_spark.text.pages import build_pages
+    pages = build_pages(spark, sf_dir)
+    assert [f.name for f in pages.schema.fields] == \
+        ["url", "warc_ts", "html", "text", "lang"]
+    row = pages.filter(F.col("url").endswith("/doc/2")).first()
+    assert row.html.decode("utf-8") == f"<html><body><p>{row.text}</p></body></html>"
+    assert " geo: lat=" in row.text
+
+
+def test_extraction_deterministic(spark, sf_dir):
+    """Per-row invariant: extracted mention text is byte-identical per url
+    across runs (BASELINE.json input_hint)."""
+    from vector_tile_go_spark.text.pages import build_pages, extract_geo_entities
+    e1 = extract_geo_entities(build_pages(spark, sf_dir)) \
+        .orderBy("doc_id", "mention_idx").toPandas()
+    e2 = extract_geo_entities(build_pages(spark, sf_dir)) \
+        .orderBy("doc_id", "mention_idx").toPandas()
+    pd.testing.assert_frame_equal(e1, e2)
+    # formula cross-check in python ints
+    from vector_tile_go_spark.text import geo
+    for _, r in e1.head(20).iterrows():
+        lat_udeg = (r.doc_id * geo.LAT_MULT_DOC + r.mention_idx * geo.LAT_MULT_J) \
+            % geo.LAT_MOD - geo.LAT_OFF
+        assert r.lat == lat_udeg / 1e6
+
+
+def test_encode_decode_spark_roundtrip(spark, sf_dir):
+    from vector_tile_go_spark.queries import entities_df
+    from vector_tile_go_spark.sparkops.udfs import decode_tiles, encode_point_tiles
+    e = entities_df(spark, sf_dir)
+    n_in = e.count()
+    tiles = encode_point_tiles(e, prop_cols=("url", "mention_idx"))
+    tiles.cache()
+    assert tiles.select(F.sum("n_features")).first()[0] == n_in
+    feats = decode_tiles(tiles, mode="props")
+    assert feats.count() == n_in
+    # decoded properties carry the url back out
+    sample = feats.limit(5).toPandas()
+    assert all(p["url"].startswith("https://") for p in sample["properties"])
+    tiles.unpersist()
+
+
+def test_salted_encode_equivalent(spark, sf_dir):
+    """Salted (skew-resistant) encode yields tiles that decode to the same
+    feature multiset as the plain encode."""
+    from vector_tile_go_spark.queries import entities_df
+    from vector_tile_go_spark.sparkops.udfs import (decode_tiles,
+                                                    encode_point_tiles,
+                                                    encode_point_tiles_salted)
+    e = entities_df(spark, sf_dir).filter(F.col("doc_id") < 400)
+    plain = decode_tiles(encode_point_tiles(e), mode="props") \
+        .select("z", "x", "y", F.col("properties")["url"].alias("url"),
+                F.col("properties")["mention_idx"].alias("mi"))
+    salted = decode_tiles(encode_point_tiles_salted(e, n_salts=4), mode="props") \
+        .select("z", "x", "y", F.col("properties")["url"].alias("url"),
+                F.col("properties")["mention_idx"].alias("mi"))
+    pd.testing.assert_frame_equal(
+        plain.orderBy("z", "x", "y", "url", "mi").toPandas(),
+        salted.orderBy("z", "x", "y", "url", "mi").toPandas())
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as em
+    df = em.entry(spark)
+    assert df.count() > 0
+    qs = em.queries()
+    os_ = em.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 10
+
+
+def test_tile_stats_lazy_scan(spark, sf_dir):
+    from vector_tile_go_spark.queries import entities_df
+    from vector_tile_go_spark.sparkops.udfs import encode_point_tiles, tile_stats
+    e = entities_df(spark, sf_dir)
+    tiles = encode_point_tiles(e)
+    s = tile_stats(tiles).toPandas()
+    assert (s["n_keys"] == 2).all()
+    assert (s["extent"] == 4096).all()
+    assert (s["version"] == 2).all()

@@ -1,0 +1,255 @@
+"""Engine query registry: every operator exposed as (spark, sf_dir) ->
+DataFrame with a matching DuckDB oracle SQL (driver contract in
+__spark_entry__.py).
+
+Naming: every computed column is aliased identically in the Spark plan and
+the oracle SQL — the driver's compare sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sparkops.udfs import decode_tiles, encode_point_tiles, tile_stats
+from .text import geo
+from .text.pages import (assign_tiles, build_pages, extract_geo_entities,
+                         load_documents)
+
+ZOOM = 12
+REDUCE_STEPS = 8  # feature_reduce.go:10 default_steps
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def entities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign_tiles(extract_geo_entities(build_pages(spark, sf_dir)), ZOOM)
+
+
+def _mentions_oracle(select: str, *, zoom: int | None = None,
+                     extra_cte: str = "", tail: str = "") -> str:
+    """Oracle scaffold: mentions CTE (+ optional tile assignment) + SELECT."""
+    ctes = geo.sql_mentions_cte()
+    if zoom is not None:
+        tx, ty = geo.sql_tile_xy(zoom)
+        ctes += f""",
+tiled AS (
+  SELECT m.*, {zoom} AS z, {tx} AS x, {ty} AS y FROM mentions m
+)"""
+    ctes += extra_cte
+    return f"WITH {ctes}\n{select}\n{tail}"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_geo_extract(spark, sf_dir):
+    """EP1: regex geo-entity extraction from page text (JVM regexp built-ins).
+
+    Oracle recomputes lat/lng straight from the integer formula — equality
+    proves the render->extract->parse loop is byte/bit-exact per url."""
+    e = extract_geo_entities(build_pages(spark, sf_dir))
+    return e.select("doc_id", F.col("mention_idx").alias("j"), "lat", "lng")
+
+
+def q_tile_assign(spark, sf_dir):
+    """Tile assignment at z12 + per-tile counts (the engine's core groupBy)."""
+    e = entities_df(spark, sf_dir)
+    return (e.groupBy("z", "x", "y")
+            .agg(F.count("*").alias("n_mentions"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
+def q_tile_rollup(spark, sf_dir):
+    """Zoom-pyramid rollup: z12 counts re-aggregated to z4 parents via
+    integer right-shift — the tile hierarchy is a free rollup dimension."""
+    e = entities_df(spark, sf_dir)
+    shift = ZOOM - 4
+    return (e.withColumn("x4", F.shiftrightunsigned("x", shift))
+            .withColumn("y4", F.shiftrightunsigned("y", shift))
+            .groupBy("x4", "y4")
+            .agg(F.count("*").alias("n_mentions")))
+
+
+def q_bbox_by_lang(spark, sf_dir):
+    """Bounding-box monoid aggregation (feature_reduce.go:44-117) grouped by
+    page language — partial+final min/max agg, joined to documents."""
+    e = extract_geo_entities(build_pages(spark, sf_dir))
+    d = load_documents(spark, sf_dir).select("doc_id", "lang")
+    return (e.join(d, "doc_id")
+            .groupBy("lang")
+            .agg(F.min("lng").alias("west"), F.min("lat").alias("south"),
+                 F.max("lng").alias("east"), F.max("lat").alias("north"),
+                 F.count("*").alias("n_mentions")))
+
+
+def q_reduce_points(spark, sf_dir):
+    """Zoom-reduction point dedup (feature_reduce.go:193-207): points deduped
+    by occupancy of a z+8 sub-tile; kept count per z12 tile = distinct
+    occupied z20 cells."""
+    e = entities_df(spark, sf_dir)
+    zz = ZOOM + REDUCE_STEPS
+    sx, sy = geo.tile_xy_cols(zz, F.col("lat"), F.col("lng"))
+    return (e.withColumn("sx", sx).withColumn("sy", sy)
+            .groupBy("z", "x", "y")
+            .agg(F.countDistinct("sx", "sy").alias("n_kept"),
+                 F.count("*").alias("n_points")))
+
+
+def q_tile_dict_stats(spark, sf_dir):
+    """Encode tiles, then header-only lazy scan (NewTile, read_tile.go:20-44):
+    per-tile feature count and key/value dictionary sizes. Verifies the
+    per-layer dictionary dedup (write_layer.go:77-112) against SQL
+    count-distincts."""
+    e = entities_df(spark, sf_dir)
+    tiles = encode_point_tiles(e, layer_name="geo",
+                               prop_cols=("url", "mention_idx"))
+    s = tile_stats(tiles)
+    return s.select("z", "x", "y", "n_features", "n_keys", "n_values")
+
+
+def q_roundtrip_counts(spark, sf_dir):
+    """Full encode -> decode round trip; per-tile decoded feature count and
+    distinct doc ids recovered from properties. The MVT codec is exercised
+    end-to-end; the oracle never sees bytes, only the invariant."""
+    e = entities_df(spark, sf_dir)
+    tiles = encode_point_tiles(e, layer_name="geo",
+                               prop_cols=("url", "mention_idx"))
+    feats = decode_tiles(tiles, mode="props")
+    return (feats.groupBy("z", "x", "y")
+            .agg(F.count("*").alias("n_features"),
+                 F.countDistinct(F.col("properties")["url"]).alias("n_urls")))
+
+
+def q_roundtrip_geometry(spark, sf_dir):
+    """Encode -> decode -> re-derive tile assignment from *decoded* quantized
+    lng/lat. Proves geometry survives the codec: every decoded point must
+    still land in the tile that encoded it (quantized coords stay within the
+    tile bounds by construction). Output: per-tile count of decoded points
+    whose recomputed z12 tile equals the carrier tile."""
+    e = entities_df(spark, sf_dir)
+    tiles = encode_point_tiles(e, layer_name="geo", prop_cols=("mention_idx",))
+    feats = decode_tiles(tiles, mode="lnglat")
+    tx, ty = geo.tile_xy_cols(ZOOM, F.col("lat"), F.col("lng"))
+    return (feats
+            .withColumn("rx", tx).withColumn("ry", ty)
+            .groupBy("z", "x", "y")
+            .agg(F.count("*").alias("n_decoded"),
+                 F.sum(((F.col("rx") == F.col("x")) &
+                        (F.col("ry") == F.col("y"))).cast("long")).alias("n_in_tile")))
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """General relational capability (TPC-H Q1 shape) — the engine is a full
+    Spark SQL surface, not only the tiling operators."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("sum_disc_price"),
+                 F.avg("l_discount").alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q_events_windows(spark, sf_dir):
+    """Tumbling 10-minute windows over the events stream table (batch view of
+    the streaming operator; the structured-streaming twin lives in
+    streaming/events.py). Epoch seconds out, to keep the compare
+    timezone-free."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                    "event_type", "n_events", "total_value"))
+
+
+def q_hot_domains(spark, sf_dir):
+    """Skew surface: mentions per domain — the hot domain dominates; the
+    engine handles it via salted encode (sparkops/udfs.py) and AQE."""
+    e = extract_geo_entities(build_pages(spark, sf_dir))
+    dom = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (e.groupBy(dom.alias("domain"))
+            .agg(F.count("*").alias("n_mentions"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
+QUERIES = {
+    "geo_extract": q_geo_extract,
+    "tile_assign": q_tile_assign,
+    "tile_rollup": q_tile_rollup,
+    "bbox_by_lang": q_bbox_by_lang,
+    "reduce_points": q_reduce_points,
+    "tile_dict_stats": q_tile_dict_stats,
+    "roundtrip_counts": q_roundtrip_counts,
+    "roundtrip_geometry": q_roundtrip_geometry,
+    "lineitem_pricing": q_lineitem_pricing,
+    "events_windows": q_events_windows,
+    "hot_domains": q_hot_domains,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, runs on the driver's pre-registered views)
+# ---------------------------------------------------------------------------
+
+def oracle_queries() -> dict[str, str]:
+    tx20, ty20 = geo.sql_tile_xy(ZOOM + REDUCE_STEPS)
+    return {
+        "geo_extract": _mentions_oracle(
+            "SELECT doc_id, j, lat, lng FROM mentions"),
+        "tile_assign": _mentions_oracle(
+            "SELECT z, x, y, COUNT(*) AS n_mentions, "
+            "COUNT(DISTINCT doc_id) AS n_docs FROM tiled GROUP BY z, x, y",
+            zoom=ZOOM),
+        "tile_rollup": _mentions_oracle(
+            f"SELECT x // {1 << (ZOOM - 4)} AS x4, y // {1 << (ZOOM - 4)} AS y4, "
+            "COUNT(*) AS n_mentions FROM tiled GROUP BY 1, 2",
+            zoom=ZOOM),
+        "bbox_by_lang": _mentions_oracle(
+            "SELECT d.lang, MIN(m.lng) AS west, MIN(m.lat) AS south, "
+            "MAX(m.lng) AS east, MAX(m.lat) AS north, COUNT(*) AS n_mentions "
+            "FROM mentions m JOIN documents d USING (doc_id) GROUP BY d.lang"),
+        "reduce_points": _mentions_oracle(
+            f"SELECT z, x, y, COUNT(DISTINCT ({tx20}, {ty20})) AS n_kept, "
+            "COUNT(*) AS n_points FROM tiled GROUP BY z, x, y",
+            zoom=ZOOM),
+        "tile_dict_stats": _mentions_oracle(
+            # url <-> doc_id is a bijection, so distinct url values == distinct
+            # doc_ids; value dictionary = urls + mention_idx strings
+            "SELECT z, x, y, COUNT(*) AS n_features, 2 AS n_keys, "
+            "COUNT(DISTINCT doc_id) + COUNT(DISTINCT j) AS n_values "
+            "FROM tiled GROUP BY z, x, y",
+            zoom=ZOOM),
+        "roundtrip_counts": _mentions_oracle(
+            "SELECT z, x, y, COUNT(*) AS n_features, "
+            "COUNT(DISTINCT doc_id) AS n_urls FROM tiled GROUP BY z, x, y",
+            zoom=ZOOM),
+        "roundtrip_geometry": _mentions_oracle(
+            "SELECT z, x, y, COUNT(*) AS n_decoded, COUNT(*) AS n_in_tile "
+            "FROM tiled GROUP BY z, x, y",
+            zoom=ZOOM),
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       AVG(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        "events_windows": """
+SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start,
+       event_type, COUNT(*) AS n_events, SUM(value) AS total_value
+FROM events GROUP BY 1, 2""",
+        "hot_domains": """
+SELECT CASE WHEN doc_id % 100 = 0 THEN 'hot.example.com'
+            ELSE 'www.' || source || '.example.org' END AS domain,
+       CAST(SUM(doc_id % 4) AS BIGINT) AS n_mentions, COUNT(DISTINCT doc_id) AS n_docs
+FROM documents WHERE doc_id % 4 > 0 GROUP BY 1""",
+    }
