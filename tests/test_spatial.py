@@ -1,0 +1,100 @@
+"""Spatial operator tests: ray-cast PIP (incl. holes), cell-ring kNN
+exactness vs brute force, raster round trip."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_raycast_square_with_hole():
+    from vector_tile_go_spark.spatial.pip import raycast_inside
+    outer_x = np.array([0.0, 10.0, 10.0, 0.0])
+    outer_y = np.array([0.0, 0.0, 10.0, 10.0])
+    hole_x = np.array([4.0, 6.0, 6.0, 4.0])
+    hole_y = np.array([4.0, 4.0, 6.0, 6.0])
+    px = np.array([5.0, 1.0, 11.0, 5.0, -1.0, 9.99])
+    py = np.array([5.0, 1.0, 5.0, 4.5, 5.0, 9.99])
+    got = raycast_inside(px, py, [outer_x, hole_x], [outer_y, hole_y])
+    # center is in the hole; 1,1 inside; 11,5 outside; 5,4.5 in hole; etc.
+    assert got.tolist() == [False, True, False, False, False, True]
+
+
+def test_raycast_concave():
+    from vector_tile_go_spark.spatial.pip import raycast_inside
+    # L-shape
+    xs = np.array([0.0, 4.0, 4.0, 2.0, 2.0, 0.0])
+    ys = np.array([0.0, 0.0, 2.0, 2.0, 4.0, 4.0])
+    px = np.array([1.0, 3.0, 3.0, 1.0])
+    py = np.array([1.0, 1.0, 3.0, 3.0])
+    assert raycast_inside(px, py, [xs], [ys]).tolist() == [True, True, False, True]
+
+
+def test_knn_ring_equals_bruteforce(spark, sf_dir):
+    from vector_tile_go_spark.spatial.knn import knn_bruteforce, knn_join
+    from vector_tile_go_spark.spatial.polygons import query_points
+    from vector_tile_go_spark.text.pages import build_pages, extract_geo_entities
+    e = extract_geo_entities(build_pages(spark, sf_dir)) \
+        .select("lat", "lng", "doc_id", "mention_idx")
+    q = query_points(spark, sf_dir)
+    ring = knn_join(q, e, k=5).orderBy("qid", "rank").toPandas()
+    brute = knn_bruteforce(q, e, k=5).orderBy("qid", "rank").toPandas()
+    pd.testing.assert_frame_equal(ring.reset_index(drop=True),
+                                  brute.reset_index(drop=True))
+
+
+def test_knn_small_k_exceeds_points(spark, sf_dir):
+    """k larger than the point table: every query returns all points."""
+    from vector_tile_go_spark.spatial.knn import knn_join
+    from vector_tile_go_spark.spatial.polygons import query_points
+    from vector_tile_go_spark.text.pages import build_pages, extract_geo_entities
+    e = extract_geo_entities(build_pages(spark, sf_dir)) \
+        .filter(F.col("doc_id") < 20).select("lat", "lng", "doc_id", "mention_idx")
+    npts = e.count()
+    q = query_points(spark, sf_dir).limit(3)
+    out = knn_join(q, e, k=npts + 5)
+    counts = out.groupBy("qid").count().toPandas()
+    assert (counts["count"] == npts).all()
+
+
+def test_raster_vectorize_roundtrip(spark, sf_dir):
+    from vector_tile_go_spark.queries import entities_df
+    from vector_tile_go_spark.spatial.raster import rasterize, vectorize
+    e = entities_df(spark, sf_dir)
+    r = rasterize(e).cache()
+    v = vectorize(r)
+    rp = r.select(F.sum("n_points").alias("np"), F.sum("n_occupied").alias("no")).first()
+    vp = v.select(F.sum("n_points").alias("np"), F.count("*").alias("no")).first()
+    assert rp.np == vp.np == e.count()
+    assert rp.no == vp.no
+    r.unpersist()
+
+
+def test_pip_join_matches_signtest(spark, sf_dir):
+    """Engine ray-cast PIP vs an independent numpy sign test on the same
+    triangles (the DuckDB oracle's method, reimplemented locally)."""
+    from vector_tile_go_spark.spatial.pip import pip_join
+    from vector_tile_go_spark.spatial.polygons import triangles_df
+    from vector_tile_go_spark.text.pages import build_pages, extract_geo_entities
+    e = extract_geo_entities(build_pages(spark, sf_dir))
+    tri = triangles_df(spark, sf_dir)
+    got = pip_join(e.select("lat", "lng", "doc_id", "mention_idx"), tri,
+                   point_cols=("doc_id", "mention_idx")) \
+        .select("n_nationkey", "doc_id", "mention_idx") \
+        .orderBy("n_nationkey", "doc_id", "mention_idx").toPandas()
+
+    ep = e.select("lat", "lng", "doc_id", "mention_idx").toPandas()
+    tp = tri.toPandas()
+    rows = []
+    for _, t in tp.iterrows():
+        xs, ys = np.array(t["xs"]), np.array(t["ys"])  # t.xs is Series.xs()
+        c0 = (xs[1] - xs[0]) * (ep.lat - ys[0]) - (ys[1] - ys[0]) * (ep.lng - xs[0])
+        c1 = (xs[2] - xs[1]) * (ep.lat - ys[1]) - (ys[2] - ys[1]) * (ep.lng - xs[1])
+        c2 = (xs[0] - xs[2]) * (ep.lat - ys[2]) - (ys[0] - ys[2]) * (ep.lng - xs[2])
+        inside = ((c0 > 0) & (c1 > 0) & (c2 > 0)) | ((c0 < 0) & (c1 < 0) & (c2 < 0))
+        for _, p in ep[inside].iterrows():
+            rows.append((t.n_nationkey, p.doc_id, p.mention_idx))
+    exp = pd.DataFrame(rows, columns=["n_nationkey", "doc_id", "mention_idx"]) \
+        .sort_values(["n_nationkey", "doc_id", "mention_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64").reset_index(drop=True), exp.astype("int64"))

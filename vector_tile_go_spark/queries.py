@@ -179,6 +179,64 @@ def q_hot_domains(spark, sf_dir):
                  F.countDistinct("doc_id").alias("n_docs")))
 
 
+def q_pip_join(spark, sf_dir):
+    """Point-in-polygon spatial join: geo mentions vs per-nation triangle
+    polygons — cover-cell equi-join + exact ray-cast refine (spatial/pip.py).
+    Oracle verifies with a convex sign test over the same integer-derived
+    triangles."""
+    from .spatial.pip import pip_join
+    from .spatial.polygons import triangles_df
+    e = extract_geo_entities(build_pages(spark, sf_dir))
+    tri = triangles_df(spark, sf_dir)
+    pairs = pip_join(e.select("lat", "lng", "doc_id", "mention_idx"), tri,
+                     point_cols=("doc_id", "mention_idx"))
+    return (pairs.groupBy("n_nationkey")
+            .agg(F.count("*").alias("n_inside"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
+def q_knn(spark, sf_dir):
+    """Exact cell-ring kNN (spatial/knn.py): 5 nearest mentions per nation
+    query point via escalating grid-ring joins with a completeness
+    guarantee; oracle is the brute-force cross join + window."""
+    from .spatial.knn import knn_join
+    from .spatial.polygons import query_points
+    e = extract_geo_entities(build_pages(spark, sf_dir))
+    q = query_points(spark, sf_dir)
+    out = knn_join(q, e.select("lat", "lng", "doc_id", "mention_idx"), k=5)
+    return out.select("qid", "rank", "doc_id",
+                      F.col("mention_idx").alias("j"), "dist2")
+
+
+def q_raster_occupancy(spark, sf_dir):
+    """Rasterize point features into 256x256 per-tile count grids
+    (spatial/raster.py); per-tile occupied-cell count must equal the
+    zoom-reduction dedup count (feature_reduce semantics)."""
+    from .spatial.raster import rasterize
+    e = entities_df(spark, sf_dir)
+    r = rasterize(e, steps=REDUCE_STEPS)
+    return r.select("z", "x", "y",
+                    F.col("n_points").cast("long").alias("n_points"),
+                    F.col("n_occupied").cast("long").alias("n_occupied"))
+
+
+def q_raster_vector_roundtrip(spark, sf_dir):
+    """rasterize -> vectorize round trip: per-tile cell count and point-count
+    sum survive; every emitted center must lie inside its sub-cell (checked
+    by re-deriving the sub-cell from the center's lat/lng)."""
+    from .spatial.raster import rasterize, vectorize
+    e = entities_df(spark, sf_dir)
+    v = vectorize(rasterize(e, steps=REDUCE_STEPS), steps=REDUCE_STEPS)
+    sx, sy = geo.tile_xy_cols(ZOOM + REDUCE_STEPS, F.col("lat"), F.col("lng"))
+    side = 1 << REDUCE_STEPS
+    ok = ((sx == F.col("x") * side + F.col("sub_ix")) &
+          (sy == F.col("y") * side + F.col("sub_iy"))).cast("long")
+    return (v.groupBy("z", "x", "y")
+            .agg(F.count("*").alias("n_cells"),
+                 F.sum("n_points").alias("n_points"),
+                 F.sum(ok).alias("n_centered")))
+
+
 QUERIES = {
     "geo_extract": q_geo_extract,
     "tile_assign": q_tile_assign,
@@ -191,6 +249,10 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "events_windows": q_events_windows,
     "hot_domains": q_hot_domains,
+    "pip_join": q_pip_join,
+    "knn": q_knn,
+    "raster_occupancy": q_raster_occupancy,
+    "raster_vector_roundtrip": q_raster_vector_roundtrip,
 }
 
 
@@ -199,8 +261,37 @@ QUERIES = {
 # ---------------------------------------------------------------------------
 
 def oracle_queries() -> dict[str, str]:
+    from .spatial import polygons
     tx20, ty20 = geo.sql_tile_xy(ZOOM + REDUCE_STEPS)
     return {
+        "pip_join": _mentions_oracle(
+            "SELECT t.n_nationkey, COUNT(*) AS n_inside, "
+            "COUNT(DISTINCT m.doc_id) AS n_docs "
+            "FROM mentions m JOIN triangles t ON "
+            + polygons.sql_pip_predicate("m.lng", "m.lat")
+            + " GROUP BY t.n_nationkey",
+            extra_cte=",\n" + polygons.sql_triangles_cte()),
+        "knn": _mentions_oracle(
+            "SELECT qid, rank, doc_id, j, dist2 FROM ("
+            "  SELECT q.qid, m.doc_id, m.j, "
+            "    (m.lat - q.qlat) * (m.lat - q.qlat) + "
+            "    (m.lng - q.qlng) * (m.lng - q.qlng) AS dist2, "
+            "    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY "
+            "      (m.lat - q.qlat) * (m.lat - q.qlat) + "
+            "      (m.lng - q.qlng) * (m.lng - q.qlng), m.doc_id, m.j) AS rank "
+            "  FROM qpts q CROSS JOIN mentions m) WHERE rank <= 5",
+            extra_cte=",\n" + polygons.sql_query_points_cte()),
+        "raster_occupancy": _mentions_oracle(
+            f"SELECT z, x, y, COUNT(*) AS n_points, "
+            f"COUNT(DISTINCT ({tx20}, {ty20})) AS n_occupied "
+            "FROM tiled GROUP BY z, x, y",
+            zoom=ZOOM),
+        "raster_vector_roundtrip": _mentions_oracle(
+            f"SELECT z, x, y, COUNT(DISTINCT ({tx20}, {ty20})) AS n_cells, "
+            "CAST(COUNT(*) AS BIGINT) AS n_points, "
+            f"COUNT(DISTINCT ({tx20}, {ty20})) AS n_centered "
+            "FROM tiled GROUP BY z, x, y",
+            zoom=ZOOM),
         "geo_extract": _mentions_oracle(
             "SELECT doc_id, j, lat, lng FROM mentions"),
         "tile_assign": _mentions_oracle(

@@ -1,0 +1,102 @@
+"""Cell-ring kNN join (north-rule operator; no reference analog).
+
+Exact k-nearest-neighbors of each query point over a point table, by
+escalating ring search on the uniform grid (cells.grid_cell_cols):
+
+  round r: join queries to all points within Chebyshev cell-radius r,
+  take top-k per query (row_number window), and accept the result iff the
+  kth distance is <= the guaranteed-covered radius (distance from the query
+  to the edge of the searched cell square). Unsatisfied queries escalate r.
+
+The guarantee makes the result *exact* (identical to brute force), which is
+what the DuckDB oracle checks; the ring plan just avoids the cross join.
+Metric: squared euclidean in degrees (documented engine metric — keeps the
+oracle bit-exact; a haversine variant would be a drop-in kernel swap).
+
+Determinism: ties broken by (dist2, doc_id, mention_idx) ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import cells
+
+
+def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
+             qkey: str = "qid", max_rounds: int = 6) -> DataFrame:
+    """queries(qkey, qlat, qlng) x points(lat, lng, doc_id, mention_idx) ->
+    (qkey, rank, doc_id, mention_idx, dist2), exactly k rows per query
+    (fewer only if the whole table has < k points)."""
+    qx, qy = cells.grid_cell_cols(F.col("qlat"), F.col("qlng"))
+    q = queries.select(qkey, "qlat", "qlng").withColumn("gx", qx).withColumn("gy", qy)
+    px, py = cells.grid_cell_cols(F.col("lat"), F.col("lng"))
+    p = points.select("lat", "lng", "doc_id", "mention_idx") \
+        .withColumn("pgx", px).withColumn("pgy", py)
+    p.cache()
+
+    dist2 = ((F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) +
+             (F.col("lng") - F.col("qlng")) * (F.col("lng") - F.col("qlng")))
+    w = Window.partitionBy(qkey).orderBy("dist2", "doc_id", "mention_idx")
+
+    results = None
+    pending = q
+    r = 1
+    for _ in range(max_rounds):
+        ring = cells.ring_cells(pending, "gx", "gy", r)
+        cand = ring.join(p, (ring.rx == p.pgx) & (ring.ry == p.pgy)) \
+            .drop("pgx", "pgy") \
+            .withColumn("dist2", dist2) \
+            .withColumn("rank", F.row_number().over(w)) \
+            .filter(F.col("rank") <= k)
+        # guarantee radius: distance from q to the nearest edge of the
+        # searched square [ (gx-r)*step-180, (gx+r+1)*step-180 ] etc.
+        step = cells.GRID_STEP
+        gxl = (F.col("gx") - r) * step - 180.0
+        gxr = (F.col("gx") + r + 1) * step - 180.0
+        gyl = (F.col("gy") - r) * step - 90.0
+        gyr = (F.col("gy") + r + 1) * step - 90.0
+        # clamped edges (grid border) count as covered -> infinite margin
+        margin = F.least(
+            F.when((F.col("gx") - r) <= 0, F.lit(1e9)).otherwise(F.col("qlng") - gxl),
+            F.when((F.col("gx") + r) >= cells.GRID_NX - 1, F.lit(1e9)).otherwise(gxr - F.col("qlng")),
+            F.when((F.col("gy") - r) <= 0, F.lit(1e9)).otherwise(F.col("qlat") - gyl),
+            F.when((F.col("gy") + r) >= cells.GRID_NY - 1, F.lit(1e9)).otherwise(gyr - F.col("qlat")),
+        )
+        stats = cand.groupBy(qkey, "qlat", "qlng", "gx", "gy") \
+            .agg(F.count("*").alias("nc"), F.max("dist2").alias("kth"))
+        satisfied_keys = stats.filter(
+            (F.col("nc") >= k) & (F.sqrt("kth") <= margin)).select(qkey)
+        done = cand.join(satisfied_keys, qkey, "left_semi") \
+            .select(qkey, "rank", "doc_id", "mention_idx", "dist2")
+        results = done if results is None else results.unionByName(done)
+        pending = pending.join(satisfied_keys, qkey, "left_anti")
+        if not pending.take(1):
+            break
+        r *= 2
+    else:
+        # fallback: brute force for stragglers (correctness over elegance)
+        cand = pending.crossJoin(p.drop("pgx", "pgy")) \
+            .withColumn("dist2", dist2) \
+            .withColumn("rank", F.row_number().over(w)) \
+            .filter(F.col("rank") <= k) \
+            .select(qkey, "rank", "doc_id", "mention_idx", "dist2")
+        results = cand if results is None else results.unionByName(cand)
+    return results
+
+
+def knn_bruteforce(queries: DataFrame, points: DataFrame, k: int = 5,
+                   qkey: str = "qid") -> DataFrame:
+    """Reference implementation (cross join + window) — the oracle twin and
+    the baseline the ring plan must beat at scale."""
+    dist2 = ((F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) +
+             (F.col("lng") - F.col("qlng")) * (F.col("lng") - F.col("qlng")))
+    w = Window.partitionBy(qkey).orderBy("dist2", "doc_id", "mention_idx")
+    return (queries.select(qkey, "qlat", "qlng")
+            .crossJoin(points.select("lat", "lng", "doc_id", "mention_idx"))
+            .withColumn("dist2", dist2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qkey, "rank", "doc_id", "mention_idx", "dist2"))
