@@ -1,0 +1,102 @@
+"""Text/dedup/similarity operator tests: LSH recall vs exact Jaccard,
+winnowing determinism and containment, ANN-LSH recall, multimodal stub."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_minhash_lsh_recall(spark, docs):
+    """Every true high-Jaccard pair (>= 0.5) must survive LSH candidate
+    generation at the 0.3 verify threshold (bands are tuned generous)."""
+    from vector_tile_go_spark.text.dedup import (minhash_lsh_pairs,
+                                                 ngram_jaccard_pairs)
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.5) \
+        .select("da", "db").toPandas()
+    lsh = minhash_lsh_pairs(docs, n=3, threshold=0.3) \
+        .select("da", "db").toPandas()
+    exact_set = set(map(tuple, exact.values))
+    lsh_set = set(map(tuple, lsh.values))
+    assert exact_set <= lsh_set
+
+
+def test_winnow_fingerprint_properties(spark, docs):
+    from vector_tile_go_spark.text.analysis import fingerprint_winnow
+    fp1 = fingerprint_winnow(docs.limit(50)).orderBy("doc_id").toPandas()
+    fp2 = fingerprint_winnow(docs.limit(50)).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(fp1, fp2)  # deterministic
+    assert (fp1["fingerprints"].map(len) > 0).all()
+    # containment: identical texts share all fingerprints
+    d = docs.limit(1).select(F.lit(0).alias("doc_id"), "text") \
+        .union(docs.limit(1).select(F.lit(1).alias("doc_id"), "text"))
+    fp = fingerprint_winnow(d).toPandas().sort_values("doc_id")
+    assert list(fp["fingerprints"].iloc[0]) == list(fp["fingerprints"].iloc[1])
+
+
+def _recall(exact, approx, qids):
+    recalls = []
+    for qid in qids:
+        es = set(exact[exact.qid == qid]["vec_id"])
+        as_ = set(approx[approx.qid == qid]["vec_id"])
+        recalls.append(len(es & as_) / len(es))
+    return np.mean(recalls), recalls
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF top-k (probe 4/16 lists) must recover >= 50% of the exact top-10
+    on average — the approximate/scale trade, floor pinned."""
+    from vector_tile_go_spark.similarity.ann import brute_force_topk, ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), "embedding").toPandas()
+    exact = brute_force_topk(emb, q, k=10).toPandas()
+    approx = ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4).toPandas()
+    mean, recalls = _recall(exact, approx, q["qid"])
+    assert mean >= 0.5, recalls
+
+
+def test_ann_lsh_runs_and_partial_recall(spark, sf_dir):
+    """Hyperplane LSH on *random* 64-d data has inherently weak recall
+    (cosine gaps are tiny) — assert the machinery works and beats chance.
+    Chance level for 37/256 buckets ~ 0.14."""
+    from vector_tile_go_spark.similarity.ann import brute_force_topk, lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), "embedding").toPandas()
+    exact = brute_force_topk(emb, q, k=10).toPandas()
+    approx = lsh_topk(emb, q, k=10, n_planes=8, probe_hamming=2).toPandas()
+    mean, recalls = _recall(exact, approx, q["qid"])
+    assert mean >= 0.25, recalls
+
+
+def test_multimodal_stub_raises_without_codec(spark, docs):
+    from vector_tile_go_spark.text.multimodal import attach_fake_images, decode_image
+    imgs = attach_fake_images(docs.limit(5))
+    with pytest.raises(NotImplementedError):
+        decode_image(imgs)
+
+
+def test_multimodal_fake_decode_matches_formula(spark, docs):
+    from vector_tile_go_spark.text.multimodal import attach_fake_images, fake_decode
+    out = fake_decode(attach_fake_images(docs.limit(20))).toPandas()
+    assert ((out["width"] == out["doc_id"] % 624 + 16).all())
+    assert ((out["height"] == out["doc_id"] % 464 + 16).all())
+    import hashlib
+    for _, r in out.iterrows():
+        px = bytes.fromhex(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:16])
+        assert r.px_sum == sum(px)
+
+
+def test_resize_math(spark, docs):
+    from vector_tile_go_spark.text.multimodal import (attach_fake_images,
+                                                      fake_decode, resize_stub)
+    out = resize_stub(fake_decode(attach_fake_images(docs.limit(50))), 64).toPandas()
+    assert (out["out_width"] <= 64).all() and (out["out_height"] <= 64).all()
+    # long edge lands on 64 (or 63 when 64/d*d floors just under 64)
+    assert ((out["out_width"] >= 63) | (out["out_height"] >= 63)).all()

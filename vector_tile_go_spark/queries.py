@@ -237,6 +237,81 @@ def q_raster_vector_roundtrip(spark, sf_dir):
                  F.sum(ok).alias("n_centered")))
 
 
+# --- web-scale text / dedup / similarity operators --------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup over page text (hash groupBy). The synthetic pages all
+    differ (mentions are doc-unique), so dedup runs on the *base* document
+    text truncated to 64 chars — collisions exist there."""
+    from .text.dedup import exact_dedup
+    d = load_documents(spark, sf_dir).withColumn(
+        "text64", F.substring("text", 1, 64))
+    return exact_dedup(d, text_col="text64")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from .text.dedup import ngram_jaccard_pairs
+    d = load_documents(spark, sf_dir)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from .text.dedup import minhash_lsh_pairs
+    d = load_documents(spark, sf_dir)
+    return minhash_lsh_pairs(d, n=3, threshold=0.3)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from .text.dedup import simhash_pairs
+    d = load_documents(spark, sf_dir)
+    return simhash_pairs(d, max_hamming=3)
+
+
+def q_text_stats(spark, sf_dir):
+    from .text.analysis import text_stats
+    return text_stats(load_documents(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from .text.analysis import quality_score
+    return quality_score(load_documents(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from .text.analysis import lang_id
+    return lang_id(load_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from .text.analysis import fingerprint_md5
+    return fingerprint_md5(load_documents(spark, sf_dir))
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors — numpy matmul over
+    Arrow batches against a broadcast query matrix; integer-only output."""
+    from .similarity.ann import brute_force_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), "embedding").toPandas()
+    return brute_force_topk(emb, queries, k=10)
+
+
+def q_cosine_pairs(spark, sf_dir):
+    from .similarity.ann import cosine_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, threshold=0.35)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Fake-image payload attach + stub decode (text/multimodal.py): the
+    Spark plumbing (binary col, Arrow batches, schema) is real; the codec
+    is the deterministic stand-in, so the oracle can verify byte math."""
+    from .text.multimodal import attach_fake_images, fake_decode
+    d = load_documents(spark, sf_dir)
+    return fake_decode(attach_fake_images(d))
+
+
 QUERIES = {
     "geo_extract": q_geo_extract,
     "tile_assign": q_tile_assign,
@@ -253,7 +328,24 @@ QUERIES = {
     "knn": q_knn,
     "raster_occupancy": q_raster_occupancy,
     "raster_vector_roundtrip": q_raster_vector_roundtrip,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+    "cosine_pairs": q_cosine_pairs,
+    "multimodal_decode": q_multimodal_decode,
 }
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)"""
 
 
 # ---------------------------------------------------------------------------
@@ -262,8 +354,116 @@ QUERIES = {
 
 def oracle_queries() -> dict[str, str]:
     from .spatial import polygons
+    from .text.analysis import STOPWORDS, TOKEN_RE
     tx20, ty20 = geo.sql_tile_xy(ZOOM + REDUCE_STEPS)
+    stop_en = "', '".join(STOPWORDS["en"])
+    px_terms = [f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), {2*i+1}, 2)) AS INT)"
+                for i in range(8)]
+    lang_hits = {
+        l: ("len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''), "
+            "t -> t IN ('" + "', '".join(ws) + "')))")
+        for l, ws in STOPWORDS.items()}
     return {
+        "exact_dedup": """
+SELECT md5(substr(text, 1, 64)) AS text_hash, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1""",
+        "ngram_jaccard": f"""
+WITH {_SHINGLES_CTE},
+inter AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) n_common
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da, db, n_common, sa.sz + sb.sz - n_common AS n_union
+FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE n_common >= 0.5 * (sa.sz + sb.sz - n_common)""",
+        "minhash_lsh": f"""
+WITH {_SHINGLES_CTE},
+seeded AS (SELECT doc_id, shingle, s.seed,
+           CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT) AS h
+           FROM sh, (SELECT unnest(range(0, 16)) AS seed) s),
+sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+bands AS (SELECT doc_id, seed // 4 AS band,
+          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_sig
+          FROM sig GROUP BY doc_id, band),
+cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+         FROM bands a JOIN bands b USING (band, band_sig) WHERE a.doc_id < b.doc_id),
+inter AS (SELECT c.da, c.db, COUNT(*) AS n_common
+          FROM cand c JOIN sh a ON a.doc_id = c.da
+          JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+SELECT da, db, n_common, sa.sz + sb.sz - n_common AS n_union
+FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE n_common >= 0.3 * (sa.sz + sb.sz - n_common)""",
+        "simhash_pairs": """
+WITH toksd AS (SELECT DISTINCT doc_id, t FROM
+  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5('0|' || t), 1, 15)) AS BIGINT) AS h FROM toksd),
+bits AS (SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM h, (SELECT unnest(range(0, 48)) AS b) b GROUP BY doc_id, b.b),
+sims AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id)
+SELECT a.doc_id da, b.doc_id db, bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a, sims b WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "text_stats": f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_retokens,
+       len(list_filter(regexp_extract_all(text, '{TOKEN_RE}'),
+           t -> regexp_matches(t, '^[^a-zA-Z0-9]$'))) AS n_punct,
+       len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+           t -> t IN ('{stop_en}'))) AS n_stopwords
+FROM documents""",
+        "quality_score": f"""
+SELECT doc_id, length(text) AS n_chars,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       CAST(LEAST(length(text), 500) * 10
+            + LEAST(len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+                    t -> t IN ('{stop_en}'))) * 100, 2000)
+            - CASE WHEN len(regexp_extract_all(text, '{TOKEN_RE}')) > 0
+              THEN CAST(FLOOR(len(list_filter(regexp_extract_all(text, '{TOKEN_RE}'),
+                   t -> regexp_matches(t, '^[^a-zA-Z0-9]$'))) * 10000.0
+                   / len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT)
+              ELSE 0 END AS BIGINT) AS quality_bp
+FROM documents""",
+        "lang_id": f"""
+SELECT doc_id,
+       {lang_hits['en']} AS hits_en,
+       {lang_hits['de']} AS hits_de,
+       {lang_hits['fr']} AS hits_fr,
+       CASE WHEN GREATEST({lang_hits['en']}, {lang_hits['de']}, {lang_hits['fr']}) = 0 THEN 'und'
+            WHEN {lang_hits['en']} = GREATEST({lang_hits['en']}, {lang_hits['de']}, {lang_hits['fr']}) THEN 'en'
+            WHEN {lang_hits['de']} = GREATEST({lang_hits['en']}, {lang_hits['de']}, {lang_hits['fr']}) THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM documents""",
+        "fingerprint": """
+SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
+FROM documents""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.qid, e.vec_id,
+      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+      FROM embeddings e, q),
+r AS (SELECT qid, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      FROM s)
+SELECT qid, rank, vec_id FROM r WHERE rank <= 10""",
+        "cosine_pairs": """
+SELECT a.vec_id AS va, b.vec_id AS vb
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35""",
+        "multimodal_decode": f"""
+SELECT doc_id,
+       CAST(doc_id % 624 + 16 AS INT) AS width,
+       CAST(doc_id % 464 + 16 AS INT) AS height,
+       CAST({' + '.join(px_terms)} AS BIGINT) AS px_sum,
+       GREATEST({', '.join(px_terms)}) AS px_max,
+       LEAST({', '.join(px_terms)}) AS px_min
+FROM documents""",
         "pip_join": _mentions_oracle(
             "SELECT t.n_nationkey, COUNT(*) AS n_inside, "
             "COUNT(DISTINCT m.doc_id) AS n_docs "

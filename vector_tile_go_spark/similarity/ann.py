@@ -1,0 +1,212 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k, numpy matrix kernel over Arrow
+  batches against a broadcast query matrix — the baseline and the oracle's
+  twin (DuckDB list_cosine_similarity over DOUBLE[]).
+- lsh_topk: random-hyperplane LSH bucketing (deterministic md5-seeded
+  planes), probe same-bucket + hamming<=r neighbor buckets, exact re-rank —
+  the scale path: candidates per bucket instead of all-pairs.
+- cosine_pairs: near-duplicate pairs above a cosine threshold (embedding
+  near-dup dedup mode).
+
+Scale notes: the query matrix is broadcast (tiny); the point side streams
+through mapInPandas in Arrow batches with one BLAS matmul per batch — no
+shuffle at all for brute force; LSH adds one shuffle on bucket id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: md5(seed, i) -> uniform
+    floats in [-1, 1). Engine-portable, no RNG state."""
+    out = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        vals = []
+        for i in range(0, dim, 4):
+            h = hashlib.md5(f"{p}|{i}".encode()).digest()
+            vals.extend(int.from_bytes(h[j:j + 4], "little") / 2**31 - 1.0
+                        for j in range(0, 16, 4))
+        out[p] = vals[:dim]
+    return out
+
+
+def brute_force_topk(embeddings: DataFrame, queries: pd.DataFrame, k: int = 10,
+                     vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
+    """queries: pandas (qid, embedding list). Returns (qid, rank, vec_id) —
+    integer-only output so the oracle compare is float-free. Global top-k:
+    per-batch top-k then a final window (partial top-k pushdown)."""
+    qm = _normalize(np.array(list(queries["embedding"]), dtype=np.float64))
+    qids = queries["qid"].to_numpy()
+    spark = embeddings.sparkSession
+    bqm = spark.sparkContext.broadcast(qm)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            sims = m @ bqm.value.T  # (batch, nq)
+            topn = min(k, sims.shape[0])
+            part = np.argpartition(-sims, topn - 1, axis=0)[:topn]
+            rows = []
+            for qi in range(sims.shape[1]):
+                for r in part[:, qi]:
+                    rows.append((int(qids[qi]), int(pdf[key_col].iloc[r]),
+                                 float(sims[r, qi])))
+            yield pd.DataFrame(rows, columns=["qid", "vec_id", "cos"])
+
+    from pyspark.sql.window import Window
+    scored = embeddings.select(key_col, vec_col).mapInPandas(
+        score, "qid bigint, vec_id bigint, cos double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id"))
+
+
+def lsh_topk(embeddings: DataFrame, queries: pd.DataFrame, k: int = 10,
+             n_planes: int = 12, probe_hamming: int = 2,
+             vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: sign-of-projection bucket per vector, probe all
+    buckets within hamming distance ``probe_hamming`` of the query bucket,
+    exact cosine re-rank of candidates. Recall measured in tests, not 1.0
+    by design (the approximate/scale trade)."""
+    dim = len(queries["embedding"].iloc[0])
+    planes = _planes(dim, n_planes)
+    spark = embeddings.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            signs = (m @ bp.value.T) > 0
+            buckets = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+            yield pd.DataFrame({key_col: pdf[key_col], "bucket": buckets,
+                                vec_col: pdf[vec_col]})
+
+    bucketed = embeddings.select(key_col, vec_col).mapInPandas(
+        bucketize, f"{key_col} bigint, bucket bigint, {vec_col} array<float>")
+
+    qm = _normalize(np.array(list(queries["embedding"]), dtype=np.float64))
+    qsigns = (qm @ planes.T) > 0
+    qbuckets = (qsigns.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+    # expand query buckets by hamming radius
+    probe_rows = []
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(n_planes)
+                  for j in range(i + 1, n_planes)]
+    for qid, qb, qv in zip(queries["qid"], qbuckets, qm):
+        for m in masks:
+            probe_rows.append((int(qid), int(qb ^ m), qv.tolist()))
+    probes = embeddings.sparkSession.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["qid", "bucket", "qvec"]))
+
+    cand = bucketed.join(F.broadcast(probes), "bucket")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), "qvec",
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col).cast("array<double>"), lambda a: a * a),
+        F.lit(0.0), lambda acc, x: acc + x))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc(key_col))
+    return (cand
+            .withColumn("cos", dot / norm)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", F.col(key_col).alias("vec_id")))
+
+
+def ivf_topk(embeddings: DataFrame, queries: pd.DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to their
+    nearest coarse centroid (deterministic centroids: the first
+    ``n_centroids`` vectors by key, normalized); queries probe the
+    ``n_probe`` nearest centroids and exact-rank within those lists.
+
+    The scale path for billion-row ANN: one shuffle on centroid id, then a
+    per-list scan of ~n_probe/n_centroids of the data."""
+    cents_pdf = (embeddings.orderBy(key_col).limit(n_centroids)
+                 .select(vec_col).toPandas())
+    cents = _normalize(np.array(list(cents_pdf[vec_col]), dtype=np.float64))
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            cid = np.argmax(m @ bc.value.T, axis=1)
+            yield pd.DataFrame({key_col: pdf[key_col], "cid": cid,
+                                vec_col: pdf[vec_col]})
+
+    assigned = embeddings.select(key_col, vec_col).mapInPandas(
+        assign, f"{key_col} bigint, cid int, {vec_col} array<float>")
+
+    qm = _normalize(np.array(list(queries["embedding"]), dtype=np.float64))
+    probe_rows = []
+    for qid, qv in zip(queries["qid"], qm):
+        order = np.argsort(-(qv @ cents.T))[:n_probe]
+        for cid in order:
+            probe_rows.append((int(qid), int(cid), qv.tolist()))
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["qid", "cid", "qvec"]))
+
+    cand = assigned.join(F.broadcast(probes), "cid")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), "qvec",
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col).cast("array<double>"), lambda a: a * a),
+        F.lit(0.0), lambda acc, x: acc + x))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc(key_col))
+    return (cand
+            .withColumn("cos", dot / norm)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", F.col(key_col).alias("vec_id")))
+
+
+def cosine_pairs(embeddings: DataFrame, threshold: float = 0.35,
+                 vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
+    """Embedding near-dup pairs: (va, vb) with cosine >= threshold, va < vb.
+    Exact plan: normalized matrix per batch vs broadcast full matrix —
+    O(n^2) flops but one pass, no shuffle; the LSH plan above is the
+    scale path when n makes that infeasible."""
+    pdf_all = embeddings.select(key_col, vec_col).toPandas()
+    m = _normalize(np.array(list(pdf_all[vec_col]), dtype=np.float64))
+    ids = pdf_all[key_col].to_numpy()
+    spark = embeddings.sparkSession
+    bm = spark.sparkContext.broadcast((m, ids))
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M, I = bm.value
+        for pdf in batches:
+            mb = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            ib = pdf[key_col].to_numpy()
+            sims = mb @ M.T
+            r, c = np.where(sims >= threshold)
+            keep = ib[r] < I[c]
+            yield pd.DataFrame({"va": ib[r][keep], "vb": I[c][keep]})
+
+    return embeddings.select(key_col, vec_col).mapInPandas(
+        pairs, "va bigint, vb bigint")

@@ -1,0 +1,176 @@
+"""Web-scale deduplication operators over the documents/pages tables.
+
+All hash functions are md5-based so the DuckDB oracle can reproduce them
+bit-for-bit (engine-portable, seedable, no engine-specific hash()):
+
+    h_seed(s) = int(hex(md5(seed || '|' || s))[:15], 16)      (60-bit)
+
+Operators:
+- exact_dedup          hash-groupBy on full text
+- shingle n-gram Jaccard   set-similarity self-join on word n-grams
+- MinHash + LSH        16 min-hashes, 4 bands x 4 rows, band-bucket join,
+                       exact-Jaccard verify of candidates
+- SimHash              48-bit sign-of-weighted-sum over unigram hashes,
+                       near-dup candidates via 4x12-bit chunk match +
+                       hamming <= 3 verify (bit_count(xor))
+
+Everything is DataFrame ops on JVM built-ins (md5/conv/explode/groupBy) —
+shuffles on (shingle), (band), (chunk) keys; no Python in any hot path.
+At 10^12 docs the LSH band join is the standard near-dup plan: candidates
+are generated per-bucket instead of any O(n^2) comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+SIMHASH_BITS = 48
+
+
+def _h60(col, seed_col) -> F.Column:
+    """60-bit md5-based hash, identical to the oracle's
+    CAST('0x' || substr(md5(seed || '|' || s), 1, 15) AS BIGINT)."""
+    return F.conv(F.substring(
+        F.md5(F.concat(seed_col.cast("string"), F.lit("|"), col)), 1, 15),
+        16, 10).cast("long")
+
+
+def sql_h60(expr: str, seed_expr: str) -> str:
+    return (f"CAST(('0x' || substr(md5(CAST({seed_expr} AS VARCHAR) || '|' || "
+            f"{expr}), 1, 15)) AS BIGINT)")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                key_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (text_hash, n_docs, min_doc_id), n_docs > 1."""
+    return (docs
+            .groupBy(F.md5(text_col).alias("text_hash"))
+            .agg(F.count("*").alias("n_docs"), F.min(key_col).alias("min_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  key_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-grams per doc: (doc_id, shingle)."""
+    toks = docs.select(key_col, F.split(F.col(text_col), " ").alias("toks"))
+    sh = toks.select(
+        key_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "))).alias("shingle"))
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingle sets) >= threshold.
+
+    Plan: shingle self-join on the shingle key (shuffle partitioned by
+    shingle — hot shingles are the skew point; AQE splits them), then
+    |A∩B| / (|A| + |B| - |A∩B|). Output integers only (doc ids + the
+    intersection/union sizes) so the oracle compare is float-free."""
+    sh = word_shingles(docs, n, text_col, key_col).cache()
+    sizes = sh.groupBy(key_col).agg(F.count("*").alias("sz"))
+    a = sh.toDF("da", "shingle")
+    b = sh.toDF("db", "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("da") < F.col("db"))
+             .groupBy("da", "db").agg(F.count("*").alias("n_common")))
+    out = (inter
+           .join(sizes.toDF("da", "sza"), "da")
+           .join(sizes.toDF("db", "szb"), "db")
+           .withColumn("n_union", F.col("sza") + F.col("szb") - F.col("n_common"))
+           .filter(F.col("n_common") >= F.lit(threshold) * F.col("n_union"))
+           .select("da", "db", "n_common", "n_union"))
+    return out
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
+                       key_col: str = "doc_id") -> DataFrame:
+    """(doc_id, seed, minhash): the n-th min-hash of the shingle set."""
+    sh = word_shingles(docs, n, text_col, key_col)
+    seeded = sh.withColumn("seed", F.explode(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1))))
+    return (seeded
+            .withColumn("h", _h60(F.col("shingle"), F.col("seed")))
+            .groupBy(key_col, "seed")
+            .agg(F.min("h").alias("minhash")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                      text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH near-dup join: band-bucket candidates, exact-Jaccard
+    verified. Returns (da, db, n_common, n_union) like ngram_jaccard_pairs
+    — but candidates come from the LSH buckets, not an all-pairs join."""
+    sig = minhash_signatures(docs, n, text_col, key_col)
+    # band signature: minhashes concatenated in seed order (deterministic)
+    sig_s = (sig.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
+             .groupBy(key_col, "band")
+             .agg(F.array_join(F.transform(
+                 F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                 lambda s: s["minhash"].cast("string")), ",").alias("band_sig")))
+    la = sig_s.toDF("da", "band", "band_sig")
+    lb = sig_s.toDF("db", "band", "band_sig")
+    cand = (la.join(lb, ["band", "band_sig"])
+            .filter(F.col("da") < F.col("db"))
+            .select("da", "db").distinct())
+    # exact verify of the candidate set
+    sh = word_shingles(docs, n, text_col, key_col).cache()
+    sizes = sh.groupBy(key_col).agg(F.count("*").alias("sz"))
+    a = sh.toDF("da", "shingle")
+    b = sh.toDF("db", "shingle")
+    inter = (cand.join(a, "da").join(b, ["db", "shingle"])
+             .groupBy("da", "db").agg(F.count("*").alias("n_common")))
+    return (inter
+            .join(sizes.toDF("da", "sza"), "da")
+            .join(sizes.toDF("db", "szb"), "db")
+            .withColumn("n_union", F.col("sza") + F.col("szb") - F.col("n_common"))
+            .filter(F.col("n_common") >= F.lit(threshold) * F.col("n_union"))
+            .select("da", "db", "n_common", "n_union"))
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            key_col: str = "doc_id") -> DataFrame:
+    """48-bit SimHash over word unigrams: bit b set iff the sum of
+    (+1 if bit b of h(token) else -1) over distinct tokens is positive."""
+    toks = (docs.select(key_col, F.explode(F.split(F.col(text_col), " "))
+                        .alias("tok"))
+            .filter(F.col("tok") != "").distinct()
+            .withColumn("h", _h60(F.col("tok"), F.lit(0))))
+    bits = toks.withColumn("bit", F.explode(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))))
+    votes = (bits
+             .withColumn("vote", F.expr(
+                 "CASE WHEN (shiftrightunsigned(h, bit) & 1) = 1 "
+                 "THEN 1 ELSE -1 END"))
+             .groupBy(key_col, "bit").agg(F.sum("vote").alias("v")))
+    return (votes
+            .withColumn("bitval", F.expr(
+                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
+                "ELSE CAST(0 AS BIGINT) END"))
+            .groupBy(key_col).agg(F.sum("bitval").alias("simhash")))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates via
+    exact match on one of 4 x 12-bit chunks (pigeonhole: hamming <= 3 implies
+    at least one chunk equal), verified with bit_count(xor)."""
+    sh = simhash(docs, text_col, key_col).cache()
+    chunks = sh.withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(3)))) \
+        .withColumn("ck", F.expr(
+            "shiftrightunsigned(simhash, chunk * 12) & 4095"))
+    ca = chunks.toDF("da", "ha", "chunk", "ck")
+    cb = chunks.toDF("db", "hb", "chunk", "ck")
+    cand = (ca.join(cb, ["chunk", "ck"])
+            .filter(F.col("da") < F.col("db"))
+            .select("da", "db", "ha", "hb").distinct())
+    return (cand
+            .withColumn("hamming", F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("da", "db", "hamming"))
