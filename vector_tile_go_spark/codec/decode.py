@@ -53,6 +53,11 @@ class LayerFrame:
     buf: bytes
     start: int = 0
     end: int = 0
+    # raw byte spans (incl. field tag + length prefix) for zero-copy splice
+    # re-emit (the reference's ToLayerWrite/CleanLayer byte reuse,
+    # read_layer.go:168-280, operations.go:26-54)
+    feature_frame_spans: list = field(default_factory=list)
+    dict_spans: list = field(default_factory=list)  # key+value fields, in order
 
 
 @dataclass
@@ -127,8 +132,10 @@ def parse_layer(buf: bytes, pos: int, end: int) -> LayerFrame:
     byte spans (bodies skipped), key strings, value variants, extent, version."""
     name, extent, version = "", 4096, 2
     keys, values, spans = [], [], []
+    frame_spans, dict_spans = [], []
     start = pos
     while pos < end:
+        tag_start = pos
         fieldno, wt, pos = read_key(buf, pos)
         if fieldno == 1 and wt == 2:
             n, pos = read_varint(buf, pos)
@@ -137,14 +144,17 @@ def parse_layer(buf: bytes, pos: int, end: int) -> LayerFrame:
         elif fieldno == 2 and wt == 2:
             n, pos = read_varint(buf, pos)
             spans.append((pos, pos + n))
+            frame_spans.append((tag_start, pos + n))
             pos += n
         elif fieldno == 3 and wt == 2:
             n, pos = read_varint(buf, pos)
             keys.append(buf[pos:pos + n].decode("utf-8", "replace"))
+            dict_spans.append((tag_start, pos + n))
             pos += n
         elif fieldno == 4 and wt == 2:
             n, pos = read_varint(buf, pos)
             values.append(read_value(buf, pos, pos + n))
+            dict_spans.append((tag_start, pos + n))
             pos += n
         elif fieldno == 5 and wt == 0:
             extent, pos = read_varint(buf, pos)
@@ -163,7 +173,8 @@ def parse_layer(buf: bytes, pos: int, end: int) -> LayerFrame:
             break
     if not extent:
         extent = 4096  # read_layer.go:145-147 default
-    return LayerFrame(name, extent, version, keys, values, spans, buf, start, end)
+    return LayerFrame(name, extent, version, keys, values, spans, buf,
+                      start, end, frame_spans, dict_spans)
 
 
 def decode_geometry_cmds(cmds: np.ndarray, geom_type: int):

@@ -237,6 +237,77 @@ def q_raster_vector_roundtrip(spark, sf_dir):
                  F.sum(ok).alias("n_centered")))
 
 
+# --- tile set operations (compositing / remove / filter / upsert) -----------
+
+def _entities_with_lang(spark, sf_dir):
+    e = entities_df(spark, sf_dir)
+    d = load_documents(spark, sf_dir).select("doc_id", "lang")
+    return e.join(d, "doc_id")
+
+
+def q_compositing(spark, sf_dir):
+    """Layer compositing (union): encode 'geo_en' and 'geo_other' layers
+    separately, byte-concat per tile (zero re-encode), lazy header scan."""
+    from .sparkops.compositing import composite
+    from .sparkops.udfs import encode_point_tiles, tile_stats
+    ewl = _entities_with_lang(spark, sf_dir)
+    en = encode_point_tiles(ewl.filter(F.col("lang") == "en"),
+                            layer_name="geo_en", prop_cols=("mention_idx",))
+    other = encode_point_tiles(ewl.filter(F.col("lang") != "en"),
+                               layer_name="geo_other", prop_cols=("mention_idx",))
+    comp = composite(en, other)
+    s = tile_stats(comp)
+    return (s.groupBy("z", "x", "y")
+            .agg(F.count("*").alias("n_layers"),
+                 F.sum("n_features").cast("long").alias("n_features")))
+
+
+def q_remove_layer(spark, sf_dir):
+    """RemoveLayer (operations.go:11-23): splice 'geo_en' out of composited
+    tiles; surviving per-tile feature counts = non-en mentions."""
+    from .sparkops.compositing import composite, remove_layer
+    from .sparkops.udfs import encode_point_tiles, tile_stats
+    ewl = _entities_with_lang(spark, sf_dir)
+    en = encode_point_tiles(ewl.filter(F.col("lang") == "en"),
+                            layer_name="geo_en", prop_cols=("mention_idx",))
+    other = encode_point_tiles(ewl.filter(F.col("lang") != "en"),
+                               layer_name="geo_other", prop_cols=("mention_idx",))
+    removed = remove_layer(composite(en, other), "geo_en")
+    s = tile_stats(removed)
+    return s.select("z", "x", "y", F.col("n_features").cast("long")
+                    .alias("n_features"))
+
+
+def q_filter_layer(spark, sf_dir):
+    """FilterLayer (read_layer.go:297-317): property predicate keeps only
+    mention_idx=0 features by verbatim byte splice (no geometry re-encode),
+    then decode and count."""
+    from .sparkops.compositing import filter_layer
+    from .sparkops.udfs import decode_tiles, encode_point_tiles
+    e = entities_df(spark, sf_dir)
+    tiles = encode_point_tiles(e, layer_name="geo", prop_cols=("mention_idx",))
+    kept = filter_layer(tiles, "geo",
+                        lambda props, fid: props.get("mention_idx") == "0")
+    feats = decode_tiles(kept, mode="props")
+    return feats.groupBy("z", "x", "y").agg(F.count("*").alias("n_features"))
+
+
+def q_upsert_features(spark, sf_dir):
+    """AddFeaturesToLayer (operations.go:60-91) as a distributed merge:
+    encode tiles from 2/3 of mentions, upsert the remaining 1/3, decode —
+    final per-tile counts equal the full assignment."""
+    from .sparkops.compositing import upsert_features
+    from .sparkops.udfs import decode_tiles, encode_point_tiles
+    e = entities_df(spark, sf_dir)
+    existing = encode_point_tiles(e.filter(F.col("doc_id") % 3 != 0),
+                                  layer_name="geo", prop_cols=("mention_idx",))
+    new = e.filter(F.col("doc_id") % 3 == 0)
+    merged = upsert_features(existing, new, layer_name="geo",
+                             prop_cols=("mention_idx",))
+    feats = decode_tiles(merged, mode="props")
+    return feats.groupBy("z", "x", "y").agg(F.count("*").alias("n_features"))
+
+
 # --- web-scale text / dedup / similarity operators --------------------------
 
 def q_exact_dedup(spark, sf_dir):
@@ -328,6 +399,10 @@ QUERIES = {
     "knn": q_knn,
     "raster_occupancy": q_raster_occupancy,
     "raster_vector_roundtrip": q_raster_vector_roundtrip,
+    "compositing": q_compositing,
+    "remove_layer": q_remove_layer,
+    "filter_layer": q_filter_layer,
+    "upsert_features": q_upsert_features,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -364,6 +439,24 @@ def oracle_queries() -> dict[str, str]:
             "t -> t IN ('" + "', '".join(ws) + "')))")
         for l, ws in STOPWORDS.items()}
     return {
+        "compositing": _mentions_oracle(
+            "SELECT z, x, y, COUNT(DISTINCT CASE WHEN d.lang = 'en' "
+            "THEN 'geo_en' ELSE 'geo_other' END) AS n_layers, "
+            "COUNT(*) AS n_features "
+            "FROM tiled JOIN documents d USING (doc_id) GROUP BY z, x, y",
+            zoom=ZOOM),
+        "remove_layer": _mentions_oracle(
+            "SELECT z, x, y, COUNT(*) AS n_features "
+            "FROM tiled JOIN documents d USING (doc_id) "
+            "WHERE d.lang <> 'en' GROUP BY z, x, y",
+            zoom=ZOOM),
+        "filter_layer": _mentions_oracle(
+            "SELECT z, x, y, COUNT(*) AS n_features "
+            "FROM tiled WHERE j = 0 GROUP BY z, x, y",
+            zoom=ZOOM),
+        "upsert_features": _mentions_oracle(
+            "SELECT z, x, y, COUNT(*) AS n_features FROM tiled GROUP BY z, x, y",
+            zoom=ZOOM),
         "exact_dedup": """
 SELECT md5(substr(text, 1, 64)) AS text_hash, COUNT(*) AS n_docs,
        MIN(doc_id) AS min_doc_id
