@@ -169,6 +169,16 @@ def q_events_windows(spark, sf_dir):
                     "event_type", "n_events", "total_value"))
 
 
+def q_events_stream_windows(spark, sf_dir):
+    """The *streaming* twin of events_windows: a real Structured Streaming
+    query (file source -> watermark -> tumbling window agg -> memory sink)
+    run to exhaustion; the same DuckDB oracle checks the final table."""
+    from .streaming.events import (events_stream, run_stream_to_memory,
+                                   windowed_event_counts)
+    s = windowed_event_counts(events_stream(spark, sf_dir))
+    return run_stream_to_memory(s, spark)
+
+
 def q_hot_domains(spark, sf_dir):
     """Skew surface: mentions per domain — the hot domain dominates; the
     engine handles it via salted encode (sparkops/udfs.py) and AQE."""
@@ -394,6 +404,7 @@ QUERIES = {
     "roundtrip_geometry": q_roundtrip_geometry,
     "lineitem_pricing": q_lineitem_pricing,
     "events_windows": q_events_windows,
+    "events_stream_windows": q_events_stream_windows,
     "hot_domains": q_hot_domains,
     "pip_join": q_pip_join,
     "knn": q_knn,
@@ -628,6 +639,10 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
         "events_windows": """
+SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start,
+       event_type, COUNT(*) AS n_events, SUM(value) AS total_value
+FROM events GROUP BY 1, 2""",
+        "events_stream_windows": """
 SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start,
        event_type, COUNT(*) AS n_events, SUM(value) AS total_value
 FROM events GROUP BY 1, 2""",
