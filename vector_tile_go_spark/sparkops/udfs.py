@@ -36,32 +36,92 @@ FEATURE_SCHEMA = ("z int, x bigint, y bigint, layer string, feature_id bigint, "
                   "properties map<string,string>")
 
 
+def _encode_sorted_batches(batches: Iterator[pd.DataFrame], layer_name: str,
+                           prop_cols: tuple[str, ...], extent: int,
+                           id_col: str) -> Iterator[pd.DataFrame]:
+    """Streaming group-by over partition-sorted batches: rows arrive sorted
+    by (z, x, y, ...); tile groups are sliced out locally and a partial
+    group at a batch boundary is carried into the next batch. One Python
+    invocation per Arrow batch (thousands of tiles), NOT one per tile —
+    applyInPandas pays its UDF round-trip per *group*, which is the
+    dominant cost when tiles are small."""
+    from ..codec.encode_fast import encode_point_tiles_bulk
+
+    pending: pd.DataFrame | None = None
+    group_cols = ["z", "x", "y"]  # extended with 'salt' when present
+    cols = ["z", "x", "y", "layer", "tile_pbf", "n_features"]
+    first = True
+
+    def encode_batch(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        props = {c: pdf[c].astype(str).to_numpy() for c in prop_cols}
+        # per-row z: the bulk projector broadcasts arrays fine
+        z = pdf["z"].to_numpy()
+        bufs = encode_point_tiles_bulk(
+            z, pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+            pdf["lng"].to_numpy(), pdf["lat"].to_numpy(),
+            pdf[id_col].to_numpy(np.int64), props, starts, ends,
+            layer_name, extent)
+        xs = pdf["x"].to_numpy()[starts]
+        ys = pdf["y"].to_numpy()[starts]
+        zs = pdf["z"].to_numpy()[starts]
+        res = pd.DataFrame({"z": zs, "x": xs, "y": ys, "layer": layer_name,
+                            "tile_pbf": bufs,
+                            "n_features": (np.asarray(ends) -
+                                           np.asarray(starts)).astype("int32")})
+        if "salt" in pdf.columns:
+            res["salt"] = pdf["salt"].to_numpy()[starts]
+        return res
+
+    for pdf in batches:
+        if first:
+            first = False
+            if "salt" in pdf.columns:
+                group_cols = ["z", "x", "y", "salt"]
+                cols = cols + ["salt"]
+        if pending is not None:
+            pdf = pd.concat([pending, pdf], ignore_index=True)
+            pending = None
+        if not len(pdf):
+            continue
+        change = np.zeros(len(pdf) - 1, dtype=bool)
+        for c in group_cols:
+            v = pdf[c].to_numpy()
+            change |= v[1:] != v[:-1]
+        boundaries = np.flatnonzero(change) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(pdf)]])
+        # hold the last group: it may continue in the next batch
+        if len(starts) > 1:
+            yield encode_batch(pdf, starts[:-1], ends[:-1])
+        pending = pdf.iloc[starts[-1]:]
+    if pending is not None and len(pending):
+        yield encode_batch(pending.reset_index(drop=True), np.array([0]),
+                           np.array([len(pending)]))
+
+
 def encode_point_tiles(entities: DataFrame, layer_name: str = "geo",
                        prop_cols: tuple[str, ...] = ("url", "mention_idx"),
-                       extent: int = 4096, salt_threshold: int = 200000,
+                       extent: int = 4096, n_partitions: int | None = None,
                        id_col: str = "doc_id") -> DataFrame:
     """(z, x, y, lng, lat, <id_col>, props...) -> one MVT layer per tile.
 
-    Deterministic: features sorted by (id, mention props) within the tile.
-    For skew resilience the group key can include a salt (see
-    encode_point_tiles_salted); the plain path groups on (z, x, y) only.
-    """
+    Plan: one shuffle — repartition on the tile key + sortWithinPartitions
+    (z, x, y, id, props) — then a single streaming mapInPandas that encodes
+    every tile of the partition (deterministic feature order from the sort).
+    This is the reference's EP3 boundary (SURVEY.md §3) with the per-group
+    UDF overhead amortized across whole Arrow batches."""
     cols = ["z", "x", "y", "lng", "lat", id_col, *prop_cols]
     df = entities.select(*cols)
-    sort_cols = [id_col, *prop_cols]
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = (df.repartition(n_partitions, "z", "x", "y")
+          .sortWithinPartitions("z", "x", "y", id_col, *prop_cols))
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        z = int(pdf["z"].iloc[0]); x = int(pdf["x"].iloc[0]); y = int(pdf["y"].iloc[0])
-        props = {c: pdf[c].to_numpy() for c in prop_cols}
-        buf = encode_point_layer(
-            pdf["lng"].to_numpy(), pdf["lat"].to_numpy(),
-            pdf[id_col].to_numpy(np.int64), props, z, x, y, layer_name, extent)
-        return pd.DataFrame({"z": [z], "x": [x], "y": [y],
-                             "layer": [layer_name], "tile_pbf": [buf],
-                             "n_features": [len(pdf)]})
+    def run(batches):
+        return _encode_sorted_batches(batches, layer_name, prop_cols, extent,
+                                      id_col)
 
-    return df.groupBy("z", "x", "y").applyInPandas(encode_group, TILE_SCHEMA)
+    return df.mapInPandas(run, TILE_SCHEMA)
 
 
 def encode_point_tiles_salted(entities: DataFrame, layer_name: str = "geo",
@@ -76,22 +136,17 @@ def encode_point_tiles_salted(entities: DataFrame, layer_name: str = "geo",
     spreads over n_salts times more tasks for hot tiles."""
     cols = ["z", "x", "y", "lng", "lat", id_col, *prop_cols]
     df = entities.select(*cols).withColumn(
-        "salt", (F.xxhash64(id_col) % n_salts).cast("int"))
-    sort_cols = [id_col, *prop_cols]
+        "salt", F.pmod(F.xxhash64(id_col), F.lit(n_salts)).cast("int"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = (df.repartition(n_parts, "z", "x", "y", "salt")
+          .sortWithinPartitions("z", "x", "y", "salt", id_col, *prop_cols))
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        z = int(pdf["z"].iloc[0]); x = int(pdf["x"].iloc[0]); y = int(pdf["y"].iloc[0])
-        props = {c: pdf[c].to_numpy() for c in prop_cols}
-        buf = encode_point_layer(
-            pdf["lng"].to_numpy(), pdf["lat"].to_numpy(),
-            pdf[id_col].to_numpy(np.int64), props, z, x, y, layer_name)
-        return pd.DataFrame({"z": [z], "x": [x], "y": [y], "salt": [int(pdf['salt'].iloc[0])],
-                             "tile_pbf": [buf], "n_features": [len(pdf)]})
+    def run(batches):
+        return _encode_sorted_batches(batches, layer_name, prop_cols, 4096,
+                                      id_col)
 
-    partials = df.groupBy("z", "x", "y", "salt").applyInPandas(
-        encode_group,
-        "z int, x bigint, y bigint, salt int, tile_pbf binary, n_features int")
+    partials = df.mapInPandas(
+        run, TILE_SCHEMA + ", salt int").drop("layer")
     # per-tile binary concat of the (few) partials, ordered by salt for
     # determinism; this is the O(1) compositing union — no re-encode.
     concat = F.udf(lambda bufs: b"".join(bufs), "binary")
