@@ -142,6 +142,21 @@ def q_roundtrip_geometry(spark, sf_dir):
                         (F.col("ry") == F.col("y"))).cast("long")).alias("n_in_tile")))
 
 
+def q_geobuf_roundtrip(spark, sf_dir):
+    """Alternate-source ingestion (WriteLayerGeobuf, write_layer.go:218-267):
+    entities -> per-tile geobuf feature streams -> transcode to MVT layers ->
+    decode. The oracle never sees bytes; invariant = per-tile feature count
+    and distinct urls survive geobuf framing + 1e7 quantization + MVT codec."""
+    from .sparkops.udfs import encode_geobuf_tiles, transcode_geobuf_tiles
+    e = entities_df(spark, sf_dir)
+    gb = encode_geobuf_tiles(e, prop_cols=("url", "mention_idx"))
+    feats = decode_tiles(transcode_geobuf_tiles(gb, layer_name="geo"),
+                         mode="props")
+    return (feats.groupBy("z", "x", "y")
+            .agg(F.count("*").alias("n_features"),
+                 F.countDistinct(F.col("properties")["url"]).alias("n_urls")))
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """General relational capability (TPC-H Q1 shape) — the engine is a full
     Spark SQL surface, not only the tiling operators."""
@@ -402,6 +417,7 @@ QUERIES = {
     "tile_dict_stats": q_tile_dict_stats,
     "roundtrip_counts": q_roundtrip_counts,
     "roundtrip_geometry": q_roundtrip_geometry,
+    "geobuf_roundtrip": q_geobuf_roundtrip,
     "lineitem_pricing": q_lineitem_pricing,
     "events_windows": q_events_windows,
     "events_stream_windows": q_events_stream_windows,
@@ -622,6 +638,10 @@ FROM documents""",
             "FROM tiled GROUP BY z, x, y",
             zoom=ZOOM),
         "roundtrip_counts": _mentions_oracle(
+            "SELECT z, x, y, COUNT(*) AS n_features, "
+            "COUNT(DISTINCT doc_id) AS n_urls FROM tiled GROUP BY z, x, y",
+            zoom=ZOOM),
+        "geobuf_roundtrip": _mentions_oracle(
             "SELECT z, x, y, COUNT(*) AS n_features, "
             "COUNT(DISTINCT doc_id) AS n_urls FROM tiled GROUP BY z, x, y",
             zoom=ZOOM),

@@ -186,6 +186,92 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
     return tiles.mapInPandas(decode_batch, FEATURE_SCHEMA)
 
 
+def encode_geobuf_tiles(entities: DataFrame,
+                        prop_cols: tuple[str, ...] = ("url", "mention_idx"),
+                        id_col: str = "doc_id",
+                        n_partitions: int | None = None) -> DataFrame:
+    """(z, x, y, lng, lat, id, props...) -> one geobuf feature STREAM per
+    tile — the alternate-source codec (murphy214/geobuf; the reference's
+    WriteLayerGeobuf input, write_layer.go:218-267).
+
+    Same single-shuffle plan as encode_point_tiles; the geobuf feature
+    framing itself is a small per-feature kernel inside the Arrow batch
+    (compat ingestion codec, not the bulk hot path)."""
+    from ..codec.geobuf import encode_geobuf_feature
+    from ..codec.wire import encode_varint
+
+    cols = ["z", "x", "y", "lng", "lat", id_col, *prop_cols]
+    df = entities.select(*cols)
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = (df.repartition(n_partitions, "z", "x", "y")
+          .sortWithinPartitions("z", "x", "y", id_col, *prop_cols))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+            zs, xs, ys = (pdf[c].to_numpy() for c in ("z", "x", "y"))
+            lng, lat = pdf["lng"].to_numpy(), pdf["lat"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            pvals = {c: pdf[c].astype(str).to_numpy() for c in prop_cols}
+            out = []
+            for s, e in zip(starts, ends):
+                blob = bytearray()
+                for i in range(s, e):
+                    m = encode_geobuf_feature(
+                        "Point", [float(lng[i]), float(lat[i])],
+                        {c: pvals[c][i] for c in prop_cols}, int(ids[i]))
+                    blob += encode_varint(len(m)) + m
+                out.append((int(zs[s]), int(xs[s]), int(ys[s]),
+                            bytes(blob), e - s))
+            return pd.DataFrame(out, columns=["z", "x", "y", "geobuf",
+                                              "n_features"])
+
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            change = np.zeros(len(pdf) - 1, dtype=bool)
+            for c in ("z", "x", "y"):
+                v = pdf[c].to_numpy()
+                change |= v[1:] != v[:-1]
+            boundaries = np.flatnonzero(change) + 1
+            starts = np.concatenate([[0], boundaries])
+            ends = np.concatenate([boundaries, [len(pdf)]])
+            if len(starts) > 1:
+                yield emit(pdf, starts[:-1], ends[:-1])
+            pending = pdf.iloc[starts[-1]:]
+        if pending is not None and len(pending):
+            yield emit(pending.reset_index(drop=True), [0], [len(pending)])
+
+    return df.mapInPandas(
+        run, "z int, x bigint, y bigint, geobuf binary, n_features int")
+
+
+def transcode_geobuf_tiles(gb_tiles: DataFrame,
+                           layer_name: str = "geo") -> DataFrame:
+    """Per-tile geobuf stream -> serialized MVT layer (WriteLayerGeobuf,
+    write_layer.go:218-267). Embarrassingly parallel per tile row; output is
+    byte-identical to the direct encode path of the quantized features."""
+    from ..codec.geobuf import transcode_geobuf_layer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, x, y, blob, nf in zip(pdf["z"], pdf["x"], pdf["y"],
+                                         pdf["geobuf"], pdf["n_features"]):
+                buf = transcode_geobuf_layer(bytes(blob), int(z), int(x),
+                                             int(y), layer_name)
+                rows.append((int(z), int(x), int(y), layer_name, buf, int(nf)))
+            yield pd.DataFrame(rows, columns=["z", "x", "y", "layer",
+                                              "tile_pbf", "n_features"])
+
+    return gb_tiles.mapInPandas(run, TILE_SCHEMA)
+
+
 def tile_stats(tiles: DataFrame) -> DataFrame:
     """Header-only scan: layer names + feature counts without decoding
     features — the NewTile lazy-catalog path (read_tile.go:20-44)."""
