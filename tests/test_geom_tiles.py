@@ -1,0 +1,72 @@
+"""Distributed generic-geometry codec: encode_geojson_tiles /
+decode_tile_vertices over the Spark path (LineString + Polygon + Multi*),
+plus LoadGeometryScaled semantics (read_feature_lazy.go:342-396)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vector_tile_go_spark.sparkops.udfs import (decode_tile_vertices,
+                                                encode_geojson_tiles)
+
+
+def _mk_df(spark, rows, nesting=3):
+    schema = ("z int, x bigint, y bigint, feature_id bigint, "
+              "coords array<array<array<double>>>, props map<string,string>")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_polygon_winding_and_closure(spark):
+    # counter-clockwise input ring (screen coords): encoder must reverse it
+    ring = [[10.0, 10.0], [20.0, 10.0], [15.0, 20.0]]
+    df = _mk_df(spark, [(0, 0, 0, 7, [ring], {"k": "v"})])
+    tiles = encode_geojson_tiles(df, "Polygon", layer_name="t")
+    v = decode_tile_vertices(tiles).toPandas().sort_values("pt_idx")
+    assert list(v["geojson_type"].unique()) == ["Polygon"]
+    assert len(v) == 4  # 3 vertices + explicit closing point
+    assert v.iloc[0]["ix"] == v.iloc[3]["ix"]
+    assert v.iloc[0]["iy"] == v.iloc[3]["iy"]
+    # exterior must decode clockwise in tile coords (y down): shoelace > 0
+    pts = v[["ix", "iy"]].to_numpy(np.float64)
+    w = np.sum((pts[1:, 0] - pts[:-1, 0]) * (pts[1:, 1] + pts[:-1, 1]))
+    assert w > 0
+
+
+def test_linestring_zero_delta_drop(spark):
+    # two consecutive identical points: LinePoint drops the duplicate
+    line = [[0.0, 0.0], [10.0, 10.0], [10.0, 10.0], [20.0, 0.0]]
+    df = _mk_df(spark, [(0, 0, 0, 3, [line], {})])
+    tiles = encode_geojson_tiles(df, "LineString", layer_name="t")
+    v = decode_tile_vertices(tiles).toPandas()
+    assert list(v["geojson_type"].unique()) == ["LineString"]
+    assert len(v) == 3  # duplicate dropped (write_geometry.go:116-125)
+
+
+def test_scaled_decode_round_half_away(spark):
+    line = [[-10.0, -10.0], [10.0, 10.0], [30.0, -5.0]]
+    df = _mk_df(spark, [(0, 0, 0, 3, [line], {})])
+    tiles = encode_geojson_tiles(df, "LineString", layer_name="t")
+    v = decode_tile_vertices(tiles, scale_dim=16.0).toPandas()
+    for _, r in v.iterrows():
+        for a, b in (("ix", "sx"), ("iy", "sy")):
+            f = r[a] / 16.0
+            expect = int(np.sign(f) * np.floor(abs(f) + 0.5))
+            assert r[b] == expect
+
+
+def test_feature_id_zero_is_absent(spark):
+    df = _mk_df(spark, [(0, 0, 0, 0, [[[1.0, 1.0], [2.0, 2.0]]], {})])
+    tiles = encode_geojson_tiles(df, "LineString", layer_name="t")
+    v = decode_tile_vertices(tiles).toPandas()
+    # id 0 is "no id" on the wire (read_tile.go:342-343)
+    assert v["feature_id"].isna().all()
+
+
+def test_multi_features_share_tile_sorted_by_id(spark):
+    rows = [(5, 10, 12, 2, [[[1.0, 1.0], [2.0, 2.0]]], {"n": "b"}),
+            (5, 10, 12, 1, [[[3.0, 3.0], [4.0, 4.0]]], {"n": "a"})]
+    df = _mk_df(spark, rows)
+    tiles = encode_geojson_tiles(df, "LineString", layer_name="t")
+    assert tiles.count() == 1
+    v = decode_tile_vertices(tiles).toPandas()
+    assert sorted(v["feature_id"].unique()) == [1, 2]

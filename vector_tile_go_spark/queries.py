@@ -399,6 +399,106 @@ def q_cosine_pairs(spark, sf_dir):
     return cosine_pairs(emb, threshold=0.35)
 
 
+Z_POLY = 5  # carrier zoom for the generic-geometry codec queries
+
+
+def _polygon_tiles(spark, sf_dir):
+    """Nation triangles encoded as Polygon features: centroid tile at z5,
+    unclamped coords (Config.ExtentBool=false), feature_id = nationkey."""
+    from .sparkops.udfs import encode_geojson_tiles
+    from .spatial.polygons import query_points, triangles_df
+    tri = triangles_df(spark, sf_dir)
+    q = query_points(spark, sf_dir)
+    tx, ty = geo.tile_xy_cols(Z_POLY, F.col("qlat"), F.col("qlng"))
+    t = tri.join(q, tri.n_nationkey == q.qid)
+    ring = F.array(*[F.array(F.col("xs")[i], F.col("ys")[i])
+                     for i in range(3)])
+    df = t.select(
+        F.lit(Z_POLY).alias("z"), tx.alias("x"), ty.alias("y"),
+        # id 0 is "absent" on the wire (read_tile.go:342-343), so ship nk+1
+        (F.col("n_nationkey") + 1).cast("long").alias("feature_id"),
+        F.array(ring).alias("coords"),
+        F.create_map(F.lit("nk"),
+                     F.col("n_nationkey").cast("string")).alias("props"))
+    return encode_geojson_tiles(df, "Polygon", layer_name="nations",
+                                extent_clamp=False)
+
+
+def q_polygon_roundtrip(spark, sf_dir):
+    """Type-3 codec through the distributed path (MakePolygonFloat,
+    write_geometry.go:277-289): winding enforcement, ring closure, delta
+    chain, ClosePath — then full decode back to tile-int vertices. Oracle
+    recomputes the exact quantized ints (Cursor.SinglePoint float64 op
+    order) and replicates the winding reversal decision in SQL."""
+    from .sparkops.udfs import decode_tile_vertices
+    v = decode_tile_vertices(_polygon_tiles(spark, sf_dir))
+    return v.select((F.col("feature_id") - 1).alias("nk"),
+                    F.col("pt_idx").alias("j"), "ix", "iy",
+                    F.col("geojson_type").alias("gtype"))
+
+
+def q_linestring_roundtrip(spark, sf_dir):
+    """Type-2 codec: one LineString route per region through its nations'
+    triangle centers (ordered by nationkey) at tile (0,0,0). Exercises the
+    zero-delta point drop (write_geometry.go:116-125): the oracle replicates
+    the drop with a lag-window consecutive-dedup over quantized ints."""
+    from .sparkops.udfs import decode_tile_vertices, encode_geojson_tiles
+    from .spatial.polygons import query_points
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet") \
+        .select("n_nationkey", "n_regionkey")
+    q = query_points(spark, sf_dir)
+    pts = n.join(q, n.n_nationkey == q.qid)
+    line = F.transform(F.col("vs"), lambda v: F.array(v.qlng, v.qlat))
+    route = (pts.groupBy("n_regionkey")
+             .agg(F.sort_array(
+                 F.collect_list(F.struct("qid", "qlng", "qlat"))).alias("vs"))
+             .select(F.lit(0).alias("z"),
+                     F.lit(0).cast("long").alias("x"),
+                     F.lit(0).cast("long").alias("y"),
+                     (F.col("n_regionkey") + 1).cast("long").alias("feature_id"),
+                     F.array(line).alias("coords"),
+                     F.create_map(F.lit("rk"), F.col("n_regionkey")
+                                  .cast("string")).alias("props")))
+    tiles = encode_geojson_tiles(route, "LineString", layer_name="routes",
+                                 extent_clamp=False)
+    v = decode_tile_vertices(tiles)
+    return v.select((F.col("feature_id") - 1).alias("rk"),
+                    F.col("pt_idx").alias("j"), "ix", "iy",
+                    F.col("geojson_type").alias("gtype"))
+
+
+def q_scaled_geometry(spark, sf_dir):
+    """LoadGeometryScaled / ConvertGeometry (read_feature_lazy.go:342-396):
+    decoded tile ints scaled by 1/16 with pbf.Round half-away-from-zero."""
+    from .sparkops.udfs import decode_tile_vertices
+    v = decode_tile_vertices(_polygon_tiles(spark, sf_dir), scale_dim=16.0)
+    return v.select((F.col("feature_id") - 1).alias("nk"),
+                    F.col("pt_idx").alias("j"), "sx", "sy")
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (similarity/ann.py): coarse-centroid inverted lists, one
+    shuffle on centroid id. Probed at n_probe = n_centroids here so recall
+    is exactly 1.0 and the brute-force oracle applies; production runs
+    n_probe << n_centroids (recall/latency trade measured in tests)."""
+    from .similarity.ann import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), "embedding").toPandas()
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=16)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN with hamming-2 multiprobe — approximate by design,
+    so no SQL oracle (driver records the rows-only check); recall vs brute
+    force is asserted in tests/test_text_ops.py."""
+    from .similarity.ann import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), "embedding").toPandas()
+    return lsh_topk(emb, queries, k=10)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Fake-image payload attach + stub decode (text/multimodal.py): the
     Spark plumbing (binary col, Arrow batches, schema) is real; the codec
@@ -439,8 +539,13 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
     "cosine_pairs": q_cosine_pairs,
     "multimodal_decode": q_multimodal_decode,
+    "polygon_roundtrip": q_polygon_roundtrip,
+    "linestring_roundtrip": q_linestring_roundtrip,
+    "scaled_geometry": q_scaled_geometry,
 }
 
 _SHINGLES_CTE = """
@@ -671,4 +776,84 @@ SELECT CASE WHEN doc_id % 100 = 0 THEN 'hot.example.com'
             ELSE 'www.' || source || '.example.org' END AS domain,
        CAST(SUM(doc_id % 4) AS BIGINT) AS n_mentions, COUNT(DISTINCT doc_id) AS n_docs
 FROM documents WHERE doc_id % 4 > 0 GROUP BY 1""",
+        "polygon_roundtrip": _polygon_vertices_sql(
+            "SELECT nk, j, ix, iy, gtype FROM pverts"),
+        "scaled_geometry": _polygon_vertices_sql(
+            f"SELECT nk, j, {_sql_round_scale('ix', 16)} AS sx, "
+            f"{_sql_round_scale('iy', 16)} AS sy FROM pverts"),
+        "linestring_roundtrip": _linestring_vertices_sql(),
+        "ann_ivf": """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.qid, e.vec_id,
+      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+      FROM embeddings e, q),
+r AS (SELECT qid, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      FROM s)
+SELECT qid, rank, vec_id FROM r WHERE rank <= 10""",
     }
+
+
+def _sql_round_scale(expr: str, dim: int) -> str:
+    """pbf.Round(x/dim, .5, 0): round half away from zero
+    (read_feature_lazy.go:342-396)."""
+    return (f"(CASE WHEN {expr} >= 0 "
+            f"THEN CAST(FLOOR(({expr}) / {dim}.0 + 0.5) AS BIGINT) "
+            f"ELSE -CAST(FLOOR((-({expr})) / {dim}.0 + 0.5) AS BIGINT) END)")
+
+
+def _polygon_vertices_sql(select: str) -> str:
+    """Oracle CTE chain ending in pverts(nk, j, ix, iy, gtype): the exact
+    quantized vertex stream the engine's Polygon encode emits — centroid z5
+    carrier tile, Cursor.SinglePoint quantization, winding-reversal decision
+    on the closed-ring shoelace over ints, explicit closing point."""
+    from .spatial import polygons
+    tx5, ty5 = geo.sql_tile_xy(Z_POLY, "q.qlat", "q.qlng")
+    qz_cols = []
+    for i in range(3):
+        ix, iy = geo.sql_tile_int_xy(Z_POLY, "tx", "ty", f"x{i}", f"y{i}")
+        qz_cols.append(f"{ix} AS ix{i}, {iy} AS iy{i}")
+    return f"""
+WITH {polygons.sql_triangles_cte()},
+{polygons.sql_query_points_cte()},
+tiled AS (
+  SELECT t.*, {tx5} AS tx, {ty5} AS ty
+  FROM triangles t JOIN qpts q ON q.qid = t.n_nationkey),
+qz AS (SELECT n_nationkey, {', '.join(qz_cols)} FROM tiled),
+o AS (SELECT *,
+      (ix1-ix0)*(iy1+iy0) + (ix2-ix1)*(iy2+iy1) + (ix0-ix2)*(iy0+iy2) AS w
+      FROM qz),
+pverts AS (
+  SELECT n_nationkey AS nk, CAST(g.j AS INT) AS j,
+    CASE g.j WHEN 0 THEN ix0 WHEN 3 THEN ix0
+         WHEN 1 THEN CASE WHEN w > 0 THEN ix1 ELSE ix2 END
+         ELSE CASE WHEN w > 0 THEN ix2 ELSE ix1 END END AS ix,
+    CASE g.j WHEN 0 THEN iy0 WHEN 3 THEN iy0
+         WHEN 1 THEN CASE WHEN w > 0 THEN iy1 ELSE iy2 END
+         ELSE CASE WHEN w > 0 THEN iy2 ELSE iy1 END END AS iy,
+    'Polygon' AS gtype
+  FROM o, (SELECT unnest(range(0, 4)) AS j) g)
+{select}"""
+
+
+def _linestring_vertices_sql() -> str:
+    """Oracle for the region-route LineString codec: z0 quantization plus
+    the zero-delta consecutive-point drop (write_geometry.go:116-125)
+    replicated with a lag window."""
+    from .spatial import polygons
+    ix, iy = geo.sql_tile_int_xy(0, "0", "0", "qlng", "qlat")
+    return f"""
+WITH {polygons.sql_query_points_cte()},
+pts AS (SELECT n.n_regionkey AS rk, n.n_nationkey AS nk, q.qlng, q.qlat
+        FROM nation n JOIN qpts q ON q.qid = n.n_nationkey),
+qz AS (SELECT rk, nk, {ix} AS ix, {iy} AS iy FROM pts),
+seqd AS (SELECT rk, ix, iy,
+         ROW_NUMBER() OVER (PARTITION BY rk ORDER BY nk) AS seq FROM qz),
+lagd AS (SELECT *, LAG(ix) OVER (PARTITION BY rk ORDER BY seq) AS pix,
+         LAG(iy) OVER (PARTITION BY rk ORDER BY seq) AS piy FROM seqd),
+kept AS (SELECT rk, ix, iy, seq FROM lagd
+         WHERE pix IS NULL OR ix <> pix OR iy <> piy)
+SELECT rk, CAST(ROW_NUMBER() OVER (PARTITION BY rk ORDER BY seq) - 1 AS INT)
+       AS j, ix, iy, 'LineString' AS gtype
+FROM kept"""

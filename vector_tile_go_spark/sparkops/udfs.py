@@ -272,6 +272,92 @@ def transcode_geobuf_tiles(gb_tiles: DataFrame,
     return gb_tiles.mapInPandas(run, TILE_SCHEMA)
 
 
+def encode_geojson_tiles(features: DataFrame, geom_type: str,
+                         layer_name: str = "features",
+                         extent: int = 4096,
+                         extent_clamp: bool = False) -> DataFrame:
+    """Generic-geometry encode: rows of (z, x, y, feature_id, coords, props)
+    -> one MVT layer per tile via the full LayerEncoder (WriteLayer,
+    write_layer.go:127-175), covering LineString/Polygon/Multi* command
+    streams, winding enforcement and ring closure — the paths the bulk
+    point encoder skips.
+
+    ``coords`` is ``array<array<array<double>>>`` (Polygon rings / an array
+    of lines); for LineString the single line is ``coords[0]``. Geometry
+    tables are dimension-sized relative to the point firehose (polygons per
+    admin area vs points per document), so a grouped ``applyInPandas`` with
+    per-feature Python is the right cost model here; the web-scale fact
+    path stays on ``encode_point_tiles``."""
+    from ..codec.encode import encode_layer
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("feature_id")
+        z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
+        feats = []
+        for fid, coords, props in zip(pdf["feature_id"], pdf["coords"],
+                                      pdf["props"]):
+            c = [[list(map(float, p)) for p in ring] for ring in coords]
+            if geom_type == "LineString":
+                c = c[0]
+            feats.append({"type": geom_type, "coordinates": c,
+                          "properties": dict(props) if props is not None else {},
+                          "id": int(fid)})
+        buf = encode_layer(feats, z, x, y, layer_name, extent=extent,
+                           extent_clamp=extent_clamp)
+        return pd.DataFrame([(z, x, y, layer_name, buf, len(feats))],
+                            columns=["z", "x", "y", "layer", "tile_pbf",
+                                     "n_features"])
+
+    return (features.select("z", "x", "y", "feature_id", "coords", "props")
+            .groupBy("z", "x", "y")
+            .applyInPandas(encode_group, TILE_SCHEMA))
+
+
+def decode_tile_vertices(tiles: DataFrame, scale_dim: float | None = None) -> DataFrame:
+    """Full-geometry decode to exploded vertex rows in tile-local integer
+    coords — the LoadGeometry int path (read_feature_lazy.go:162-291).
+
+    With ``scale_dim`` also emits coords scaled by 1/dim with
+    round-half-away-from-zero — ConvertGeometry / LoadGeometryScaled
+    (read_feature_lazy.go:342-396, ``pbf.Round(x/dim, .5, 0)``)."""
+    from ..codec.decode import decode_tile
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, x, y, buf in zip(pdf["z"], pdf["x"], pdf["y"],
+                                    pdf["tile_pbf"]):
+                if buf is None:
+                    continue
+                for lname, f in decode_tile(bytes(buf), int(z), int(x),
+                                            int(y), mode="int"):
+                    off = 0
+                    for ri, ln in enumerate(f.ring_lens):
+                        for j in range(ln):
+                            ix = int(f.xs[off + j])
+                            iy = int(f.ys[off + j])
+                            rows.append((int(z), int(x), int(y), lname,
+                                         f.feature_id, f.geojson_type,
+                                         ri, j, ix, iy))
+                        off += ln
+            out = pd.DataFrame(rows, columns=["z", "x", "y", "layer",
+                                              "feature_id", "geojson_type",
+                                              "ring_idx", "pt_idx", "ix", "iy"])
+            if scale_dim is not None:
+                for src, dst in (("ix", "sx"), ("iy", "sy")):
+                    v = out[src].to_numpy(np.float64) / float(scale_dim)
+                    out[dst] = (np.sign(v) *
+                                np.floor(np.abs(v) + 0.5)).astype(np.int64)
+            yield out
+
+    schema = ("z int, x bigint, y bigint, layer string, feature_id bigint, "
+              "geojson_type string, ring_idx int, pt_idx int, "
+              "ix bigint, iy bigint")
+    if scale_dim is not None:
+        schema += ", sx bigint, sy bigint"
+    return tiles.mapInPandas(run, schema)
+
+
 def tile_stats(tiles: DataFrame) -> DataFrame:
     """Header-only scan: layer names + feature counts without decoding
     features — the NewTile lazy-catalog path (read_tile.go:20-44)."""

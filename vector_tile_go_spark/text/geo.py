@@ -103,3 +103,43 @@ def tile_xy_cols(zoom: int, lat: Column, lng: Column) -> tuple[Column, Column]:
             F.lit(0)),
         F.lit(n - 1)).cast("long")
     return x, y
+
+
+MERCATOR_POLE = 20037508.342789244  # pi * 6378137.0 (write_geometry.go:10)
+
+
+def sql_merc_x(lng_expr: str) -> str:
+    return f"({MERCATOR_POLE!r} / 180.0 * ({lng_expr}))"
+
+
+def sql_merc_y(lat_expr: str) -> str:
+    """Mercator y with the reference's pole clamp (write_geometry.go:80-86),
+    same operation order as tilemath.mercator_xy for bit parity."""
+    y = f"(LN(TAN((90.0 + ({lat_expr})) * PI() / 360.0)) / PI() * {MERCATOR_POLE!r})"
+    return f"LEAST(GREATEST({y}, -{MERCATOR_POLE!r}), {MERCATOR_POLE!r})"
+
+
+def sql_tile_int_xy(zoom: int, tx_expr: str, ty_expr: str,
+                    lng_expr: str, lat_expr: str,
+                    extent: int = 4096) -> tuple[str, str]:
+    """SQL for the MVT quantization Cursor.tile_ints / SinglePoint
+    (write_geometry.go:292-323): lng/lat -> tile-local ints in tile
+    (zoom, tx, ty), truncation toward zero, NO clamp — every intermediate
+    replicates tilemath/encode float64 op order so DuckDB reproduces the
+    engine's quantized vertices exactly."""
+    n = float(1 << zoom)
+    w = f"(({tx_expr}) / {n!r} * 360.0 - 180.0)"
+    e = f"((({tx_expr}) + 1.0) / {n!r} * 360.0 - 180.0)"
+    def sinh(t: str) -> str:  # DuckDB has no SINH builtin
+        return f"((EXP({t}) - EXP(-({t}))) / 2.0)"
+    lat_n = f"DEGREES(ATAN({sinh(f'PI() * (1.0 - 2.0 * ({ty_expr}) / {n!r})')}))"
+    lat_s = f"DEGREES(ATAN({sinh(f'PI() * (1.0 - 2.0 * (({ty_expr}) + 1.0) / {n!r})')}))"
+    merc_w = sql_merc_x(w)
+    merc_dx = f"({sql_merc_x(e)} - {merc_w})"
+    merc_n = sql_merc_y(lat_n)
+    merc_dy = f"({merc_n} - {sql_merc_y(lat_s)})"
+    ix = (f"CAST(TRUNC(({sql_merc_x(lng_expr)} - {merc_w}) / {merc_dx} "
+          f"* {extent}.0) AS BIGINT)")
+    iy = (f"CAST(TRUNC(({merc_n} - {sql_merc_y(lat_expr)}) / {merc_dy} "
+          f"* {extent}.0) AS BIGINT)")
+    return ix, iy
