@@ -185,8 +185,11 @@ def decode_geometry_cmds(cmds: np.ndarray, geom_type: int):
     per DeltaDim (read_feature_lazy.go:24-31); counts are trusted but
     clipped to the available parameter pairs (corrupt-tolerant like the
     reference's ``pos+1 < len(geom)`` guard, read_tile.go:250)."""
-    cmds = np.asarray(cmds, dtype=np.uint32)
     n = len(cmds)
+    if n < 64:
+        return _decode_geometry_cmds_py(
+            cmds if isinstance(cmds, list) else np.asarray(cmds).tolist(), n)
+    cmds = np.asarray(cmds, dtype=np.uint32)
     xs_parts, ys_parts, ring_lens = [], [], []
     pos = 0
     cx = cy = 0.0
@@ -236,6 +239,54 @@ def decode_geometry_cmds(cmds: np.ndarray, geom_type: int):
     return np.concatenate(xs_parts), np.concatenate(ys_parts), ring_lens
 
 
+def _decode_geometry_cmds_py(cmds: list, n: int):
+    """Pure-python twin of the vectorized walk for short command streams
+    (points, short lines) — numpy's fixed per-call overhead dominates below
+    ~64 command ints. Semantics identical: cursor carries across parts,
+    zigzag per DeltaDim, counts clipped to available pairs."""
+    xs, ys, ring_lens = [], [], []
+    cur = 0  # points in current part
+    cx = cy = 0
+    pos = 0
+    while pos < n:
+        cmd = cmds[pos]
+        cmd_id = cmd & 0x7
+        count = cmd >> 3
+        pos += 1
+        if cmd_id == 1:
+            if cur:
+                ring_lens.append(cur)
+                cur = 0
+            avail = min(count, (n - pos) >> 1)
+            for _ in range(avail):
+                a = cmds[pos]
+                b = cmds[pos + 1]
+                pos += 2
+                cx += -((a + 1) >> 1) if a & 1 else a >> 1
+                cy += -((b + 1) >> 1) if b & 1 else b >> 1
+                xs.append(cx)
+                ys.append(cy)
+                cur += 1
+        elif cmd_id == 2:
+            avail = min(count, (n - pos) >> 1)
+            for _ in range(avail):
+                a = cmds[pos]
+                b = cmds[pos + 1]
+                pos += 2
+                cx += -((a + 1) >> 1) if a & 1 else a >> 1
+                cy += -((b + 1) >> 1) if b & 1 else b >> 1
+                xs.append(cx)
+                ys.append(cy)
+                cur += 1
+        # cmd 7 (ClosePath) and unknown commands: no params, no-op
+    if cur:
+        ring_lens.append(cur)
+    if not xs:
+        return np.zeros(0), np.zeros(0), []
+    return (np.asarray(xs, dtype=np.float64),
+            np.asarray(ys, dtype=np.float64), ring_lens)
+
+
 def _signed_area(ring: np.ndarray) -> float:
     """SignedArea (read_feature_lazy.go:34-51): shoelace with wrap term; the
     ring includes its closing duplicate point."""
@@ -260,14 +311,28 @@ def decode_feature(layer: LayerFrame, span, mode: str = "lnglat",
             fid, pos = read_varint(buf, pos)
         elif fieldno == 2 and wt == 2:
             n, pos = read_varint(buf, pos)
-            tags = varint_decode_all(np.frombuffer(buf, np.uint8, n, pos))
-            pos += n
+            # tag arrays are tiny (2 ints per property): a plain byte loop
+            # beats numpy's fixed per-call overhead by ~25x here; the
+            # vectorized varint_decode_all only wins on long packed arrays
+            end_t = pos + n
+            tags = []
+            v = shift = 0
+            while pos < end_t:
+                b = buf[pos]
+                pos += 1
+                v |= (b & 0x7F) << shift
+                if b & 0x80:
+                    shift += 7
+                else:
+                    tags.append(v)
+                    v = shift = 0
             # dictionary join; out-of-range -> "" (read_tile.go:193-204)
+            nk, nv = len(layer.keys), len(layer.values)
             for i in range(0, len(tags) - 1, 2):
-                ki, vi = int(tags[i]), int(tags[i + 1])
-                k = layer.keys[ki] if ki < len(layer.keys) else ""
-                v = layer.values[vi] if vi < len(layer.values) else ""
-                props[k] = v
+                ki, vi = tags[i], tags[i + 1]
+                k = layer.keys[ki] if ki < nk else ""
+                val = layer.values[vi] if vi < nv else ""
+                props[k] = val
         elif fieldno == 3 and wt == 0:
             geom_type, pos = read_varint(buf, pos)
         elif fieldno == 4 and wt == 2:
@@ -286,8 +351,26 @@ def decode_feature(layer: LayerFrame, span, mode: str = "lnglat",
     if mode == "props" or geom_span is None:
         feat.geojson_type = GEOM_TYPE_NAME.get(geom_type, "")
         return feat
-    cmds = varint_decode_all(
-        np.frombuffer(buf, np.uint8, geom_span[1] - geom_span[0], geom_span[0]))
+    span_len = geom_span[1] - geom_span[0]
+    if span_len < 256:
+        # small-geometry fast path (points, short lines): plain byte loop,
+        # no numpy per-call overhead
+        g0, g1 = geom_span
+        vals = []
+        v = shift = 0
+        p = g0
+        while p < g1:
+            b = buf[p]
+            p += 1
+            v |= (b & 0x7F) << shift
+            if b & 0x80:
+                shift += 7
+            else:
+                vals.append(v)
+                v = shift = 0
+        cmds = np.asarray(vals, dtype=np.uint32)
+    else:
+        cmds = varint_decode_all(np.frombuffer(buf, np.uint8, span_len, geom_span[0]))
     xs, ys, ring_lens = decode_geometry_cmds(cmds, geom_type)
     feat.xs, feat.ys, feat.ring_lens = xs, ys, ring_lens
 

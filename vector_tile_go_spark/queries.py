@@ -476,6 +476,81 @@ def q_scaled_geometry(spark, sf_dir):
                     F.col("pt_idx").alias("j"), "sx", "sy")
 
 
+def _tri_with_tile(spark, sf_dir):
+    from .spatial.polygons import query_points, triangles_df
+    tri = triangles_df(spark, sf_dir)
+    q = query_points(spark, sf_dir)
+    tx, ty = geo.tile_xy_cols(Z_POLY, F.col("qlat"), F.col("qlng"))
+    return (tri.join(q, tri.n_nationkey == q.qid)
+            .select("n_nationkey", "xs", "ys", F.lit(Z_POLY).alias("z"),
+                    tx.alias("x"), ty.alias("y")))
+
+
+def _geom_vertices(df, geom_type, layer_name):
+    from .sparkops.udfs import decode_tile_vertices, encode_geojson_tiles
+    tiles = encode_geojson_tiles(df, geom_type, layer_name=layer_name,
+                                 extent_clamp=False)
+    v = decode_tile_vertices(tiles)
+    return v.select((F.col("feature_id") - 1).alias("nk"),
+                    F.col("ring_idx").alias("r"), F.col("pt_idx").alias("j"),
+                    "ix", "iy", F.col("geojson_type").alias("gtype"))
+
+
+def q_multipolygon_roundtrip(spark, sf_dir):
+    """MultiPolygon codec (MakeMultiPolygonFloat, write_geometry.go:289):
+    two exterior rings per nation (the base triangle + a 20-degree-east
+    copy), decode must re-assemble two polygons by signed-area sign
+    (read_feature_lazy.go:232-264) and preserve polygon order."""
+    t = _tri_with_tile(spark, sf_dir)
+    ring0 = F.array(*[F.array(F.col("xs")[i], F.col("ys")[i])
+                      for i in range(3)])
+    ring1 = F.array(*[F.array(F.col("xs")[i] + 20.0, F.col("ys")[i])
+                      for i in range(3)])
+    df = t.select("z", "x", "y",
+                  (F.col("n_nationkey") + 1).cast("long").alias("feature_id"),
+                  F.array(ring0, ring1).alias("coords"),
+                  F.create_map(F.lit("nk"), F.col("n_nationkey")
+                               .cast("string")).alias("props"))
+    return _geom_vertices(df, "MultiPolygon", "nations2")
+
+
+def q_polygon_holes_roundtrip(spark, sf_dir):
+    """Interior-ring winding (write_geometry.go:277-289: exterior clockwise,
+    holes counter): exterior triangle + a hole scaled 0.25x toward the
+    centroid; the decoder must attach the negative-area ring to the
+    exterior's polygon."""
+    t = _tri_with_tile(spark, sf_dir)
+    cx = (F.col("xs")[0] + F.col("xs")[1] + F.col("xs")[2]) / 3.0
+    cy = (F.col("ys")[0] + F.col("ys")[1] + F.col("ys")[2]) / 3.0
+    ext = F.array(*[F.array(F.col("xs")[i], F.col("ys")[i])
+                    for i in range(3)])
+    hole = F.array(*[F.array(cx + 0.25 * (F.col("xs")[i] - cx),
+                             cy + 0.25 * (F.col("ys")[i] - cy))
+                     for i in range(3)])
+    df = t.select("z", "x", "y",
+                  (F.col("n_nationkey") + 1).cast("long").alias("feature_id"),
+                  F.array(ext, hole).alias("coords"),
+                  F.create_map(F.lit("nk"), F.col("n_nationkey")
+                               .cast("string")).alias("props"))
+    return _geom_vertices(df, "Polygon", "nations_h")
+
+
+def q_multipoint_roundtrip(spark, sf_dir):
+    """MultiPoint codec (MakeMultiPointFloat): every point gets its own
+    MoveTo (always written, even on zero delta — write_geometry.go:108-114);
+    decode infers MultiPoint from multiple single-point MoveTo runs."""
+    t = _tri_with_tile(spark, sf_dir)
+    pts = F.array(*[F.array(F.col("xs")[i], F.col("ys")[i])
+                    for i in range(3)])
+    df = t.select("z", "x", "y",
+                  (F.col("n_nationkey") + 1).cast("long").alias("feature_id"),
+                  F.array(pts).alias("coords"),
+                  F.create_map(F.lit("nk"), F.col("n_nationkey")
+                               .cast("string")).alias("props"))
+    v = _geom_vertices(df, "MultiPoint", "verts")
+    return v.select("nk", "j", "ix", "iy", "gtype")
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN (similarity/ann.py): coarse-centroid inverted lists, one
     shuffle on centroid id. Probed at n_probe = n_centroids here so recall
@@ -546,6 +621,9 @@ QUERIES = {
     "polygon_roundtrip": q_polygon_roundtrip,
     "linestring_roundtrip": q_linestring_roundtrip,
     "scaled_geometry": q_scaled_geometry,
+    "multipolygon_roundtrip": q_multipolygon_roundtrip,
+    "polygon_holes_roundtrip": q_polygon_holes_roundtrip,
+    "multipoint_roundtrip": q_multipoint_roundtrip,
 }
 
 _SHINGLES_CTE = """
@@ -603,9 +681,16 @@ FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
 WHERE n_common >= 0.5 * (sa.sz + sb.sz - n_common)""",
         "minhash_lsh": f"""
 WITH {_SHINGLES_CTE},
-seeded AS (SELECT doc_id, shingle, s.seed,
-           CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT) AS h
-           FROM sh, (SELECT unnest(range(0, 16)) AS seed) s),
+consts AS (SELECT seed,
+           CAST(CAST(('0x' || substr(md5('a|' || CAST(seed AS VARCHAR)), 1, 7)) AS BIGINT) AS HUGEINT) * 2 + 1 AS a,
+           CAST(CAST(('0x' || substr(md5('b|' || CAST(seed AS VARCHAR)), 1, 15)) AS BIGINT) AS HUGEINT) AS b
+           FROM (SELECT unnest(range(0, 16)) AS seed)),
+base AS (SELECT doc_id, shingle,
+         CAST(CAST(('0x' || substr(md5('0|' || shingle), 1, 15)) AS BIGINT) AS HUGEINT) AS h0
+         FROM sh),
+seeded AS (SELECT doc_id, shingle, c.seed,
+           CAST((c.a * h0 + c.b) % 2305843009213693951 AS BIGINT) AS h
+           FROM base, consts c),
 sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM seeded GROUP BY doc_id, seed),
 bands AS (SELECT doc_id, seed // 4 AS band,
           string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_sig
@@ -782,6 +867,14 @@ FROM documents WHERE doc_id % 4 > 0 GROUP BY 1""",
             f"SELECT nk, j, {_sql_round_scale('ix', 16)} AS sx, "
             f"{_sql_round_scale('iy', 16)} AS sy FROM pverts"),
         "linestring_roundtrip": _linestring_vertices_sql(),
+        "multipolygon_roundtrip": _two_ring_vertices_sql(
+            lambda i: (f"(x{i} + 20.0)", f"y{i}"),
+            "w > 0", "w > 0", "MultiPolygon"),
+        "polygon_holes_roundtrip": _two_ring_vertices_sql(
+            lambda i: (f"(((x0 + x1 + x2) / 3.0) + 0.25 * (x{i} - ((x0 + x1 + x2) / 3.0)))",
+                       f"(((y0 + y1 + y2) / 3.0) + 0.25 * (y{i} - ((y0 + y1 + y2) / 3.0)))"),
+            "w > 0", "w <= 0", "Polygon"),
+        "multipoint_roundtrip": _multipoint_vertices_sql(),
         "ann_ivf": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 5),
@@ -793,6 +886,68 @@ r AS (SELECT qid, vec_id,
       FROM s)
 SELECT qid, rank, vec_id FROM r WHERE rank <= 10""",
     }
+
+
+def _two_ring_vertices_sql(r1_vertex, keep0: str, keep1: str,
+                           gtype: str) -> str:
+    """Oracle for two-ring geometries (MultiPolygon / polygon-with-hole):
+    ring 0 = the base triangle, ring 1 = ``r1_vertex(i) -> (x_sql, y_sql)``;
+    per-ring winding-reversal keep predicate over the closed-ring int
+    shoelace w (``keep0``/``keep1``, e.g. 'w > 0')."""
+    from .spatial import polygons
+    tx5, ty5 = geo.sql_tile_xy(Z_POLY, "q.qlat", "q.qlng")
+    r0 = ", ".join(f"x{i} AS rx{i}, y{i} AS ry{i}" for i in range(3))
+    r1 = ", ".join(f"{r1_vertex(i)[0]} AS rx{i}, {r1_vertex(i)[1]} AS ry{i}"
+                   for i in range(3))
+    qz_cols = []
+    for i in range(3):
+        ix, iy = geo.sql_tile_int_xy(Z_POLY, "tx", "ty", f"rx{i}", f"ry{i}")
+        qz_cols.append(f"{ix} AS ix{i}, {iy} AS iy{i}")
+    return f"""
+WITH {polygons.sql_triangles_cte()},
+{polygons.sql_query_points_cte()},
+tiled AS (
+  SELECT t.*, {tx5} AS tx, {ty5} AS ty
+  FROM triangles t JOIN qpts q ON q.qid = t.n_nationkey),
+rings AS (
+  SELECT n_nationkey, tx, ty, 0 AS r, {r0} FROM tiled
+  UNION ALL
+  SELECT n_nationkey, tx, ty, 1 AS r, {r1} FROM tiled),
+qz AS (SELECT n_nationkey, r, {', '.join(qz_cols)} FROM rings),
+o AS (SELECT *,
+      (ix1-ix0)*(iy1+iy0) + (ix2-ix1)*(iy2+iy1) + (ix0-ix2)*(iy0+iy2) AS w
+      FROM qz),
+k AS (SELECT *, CASE WHEN r = 0 THEN ({keep0}) ELSE ({keep1}) END AS keep
+      FROM o)
+SELECT n_nationkey AS nk, CAST(r AS INT) AS r, CAST(g.j AS INT) AS j,
+  CASE g.j WHEN 0 THEN ix0 WHEN 3 THEN ix0
+       WHEN 1 THEN CASE WHEN keep THEN ix1 ELSE ix2 END
+       ELSE CASE WHEN keep THEN ix2 ELSE ix1 END END AS ix,
+  CASE g.j WHEN 0 THEN iy0 WHEN 3 THEN iy0
+       WHEN 1 THEN CASE WHEN keep THEN iy1 ELSE iy2 END
+       ELSE CASE WHEN keep THEN iy2 ELSE iy1 END END AS iy,
+  '{gtype}' AS gtype
+FROM k, (SELECT unnest(range(0, 4)) AS j) g"""
+
+
+def _multipoint_vertices_sql() -> str:
+    from .spatial import polygons
+    tx5, ty5 = geo.sql_tile_xy(Z_POLY, "q.qlat", "q.qlng")
+    qs = [geo.sql_tile_int_xy(Z_POLY, "tx", "ty", f"x{i}", f"y{i}")
+          for i in range(3)]
+    ix = (f"CASE g.j WHEN 0 THEN {qs[0][0]} WHEN 1 THEN {qs[1][0]} "
+          f"ELSE {qs[2][0]} END")
+    iy = (f"CASE g.j WHEN 0 THEN {qs[0][1]} WHEN 1 THEN {qs[1][1]} "
+          f"ELSE {qs[2][1]} END")
+    return f"""
+WITH {polygons.sql_triangles_cte()},
+{polygons.sql_query_points_cte()},
+tiled AS (
+  SELECT t.*, {tx5} AS tx, {ty5} AS ty
+  FROM triangles t JOIN qpts q ON q.qid = t.n_nationkey)
+SELECT n_nationkey AS nk, CAST(g.j AS INT) AS j,
+       {ix} AS ix, {iy} AS iy, 'MultiPoint' AS gtype
+FROM tiled, (SELECT unnest(range(0, 3)) AS j) g"""
 
 
 def _sql_round_scale(expr: str, dim: int) -> str:

@@ -159,31 +159,87 @@ def encode_point_tiles_salted(entities: DataFrame, layer_name: str = "geo",
 
 
 def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
-                 layers: list[str] | None = None) -> DataFrame:
+                 layers: list[str] | None = None,
+                 prop_cols: tuple[str, ...] | None = None) -> DataFrame:
     """tiles(z, x, y, tile_pbf) -> feature rows. Point-centric projection:
     emits (lng, lat) of the first coordinate for point features; full
-    geometry consumers use decode_tiles_full."""
+    geometry consumers use decode_tile_vertices.
+
+    ``prop_cols``: project named properties to flat string columns instead
+    of the map<string,string> — the reference's lazy property projection
+    (README.md:34) pushed into the UDF; flat columns skip the Arrow/JVM map
+    builders, which dominate wide decodes."""
+    want_geom = mode != "props"
+    # decode to tile ints; inverse-project the whole Arrow batch in ONE
+    # vectorized call (the per-feature Project of the reference,
+    # read_feature_lazy.go:54-63, amortized batch-wide)
+    inner_mode = "int" if want_geom else "props"
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import tilemath as tm
+        from ..codec.decode import parse_tile, decode_feature
         for pdf in batches:
-            rows = []
+            cz, cx, cy, clay, cid, cgt, cgj = [], [], [], [], [], [], []
+            cpx, cpy, cext, cprops = [], [], [], []
+            pcols = {c: [] for c in (prop_cols or ())}
             for z, x, y, buf in zip(pdf["z"], pdf["x"], pdf["y"], pdf["tile_pbf"]):
                 if buf is None:
                     continue
-                for lname, f in decode_tile(bytes(buf), int(z), int(x), int(y),
-                                            mode=mode, layers=layers):
-                    lng = float(f.xs[0]) if len(f.xs) else None
-                    lat = float(f.ys[0]) if len(f.ys) else None
-                    rows.append((int(z), int(x), int(y), lname,
-                                 f.feature_id, f.geom_type, f.geojson_type,
-                                 lng, lat,
-                                 {k: str(v) for k, v in f.properties.items()}))
-            yield pd.DataFrame(rows, columns=["z", "x", "y", "layer",
-                                              "feature_id", "geom_type",
-                                              "geojson_type", "lng", "lat",
-                                              "properties"])
+                z, x, y = int(z), int(x), int(y)
+                for lf in parse_tile(bytes(buf)):
+                    if layers is not None and lf.name not in layers:
+                        continue
+                    for span in lf.feature_spans:
+                        f = decode_feature(lf, span, mode=inner_mode)
+                        if f is None:
+                            continue
+                        cz.append(z)
+                        cx.append(x)
+                        cy.append(y)
+                        clay.append(lf.name)
+                        cid.append(f.feature_id)
+                        cgt.append(f.geom_type)
+                        cgj.append(f.geojson_type)
+                        if want_geom and len(f.xs):
+                            cpx.append(f.xs[0])
+                            cpy.append(f.ys[0])
+                            cext.append(lf.extent)
+                        else:
+                            cpx.append(np.nan)
+                            cpy.append(np.nan)
+                            cext.append(4096)
+                        p = f.properties
+                        if prop_cols is None:
+                            cprops.append({k: str(v) for k, v in p.items()})
+                        else:
+                            for c in prop_cols:
+                                v = p.get(c)
+                                pcols[c].append(None if v is None else str(v))
+            if mode == "lnglat" and cz:
+                lngs, lats = tm.project_tile_to_lnglat(
+                    np.asarray(cpx), np.asarray(cpy),
+                    np.asarray(cz), np.asarray(cx, dtype=np.float64),
+                    np.asarray(cy, dtype=np.float64), np.asarray(cext))
+            else:
+                lngs, lats = np.asarray(cpx), np.asarray(cpy)
+            data = {"z": pd.Series(cz, dtype="int32"),
+                    "x": pd.Series(cx, dtype="int64"),
+                    "y": pd.Series(cy, dtype="int64"),
+                    "layer": clay, "feature_id": cid, "geom_type": cgt,
+                    "geojson_type": cgj, "lng": lngs, "lat": lats}
+            if prop_cols is None:
+                data["properties"] = cprops
+            else:
+                for c in prop_cols:
+                    data[c] = pcols[c]
+            yield pd.DataFrame(data)
 
-    return tiles.mapInPandas(decode_batch, FEATURE_SCHEMA)
+    if prop_cols is None:
+        return tiles.mapInPandas(decode_batch, FEATURE_SCHEMA)
+    schema = FEATURE_SCHEMA.replace(
+        "properties map<string,string>",
+        ", ".join(f"{c} string" for c in prop_cols))
+    return tiles.mapInPandas(decode_batch, schema)
 
 
 def encode_geobuf_tiles(entities: DataFrame,
@@ -299,6 +355,12 @@ def encode_geojson_tiles(features: DataFrame, geom_type: str,
             c = [[list(map(float, p)) for p in ring] for ring in coords]
             if geom_type == "LineString":
                 c = c[0]
+            elif geom_type == "MultiPoint":
+                c = c[0]
+            elif geom_type == "MultiPolygon":
+                # 3-level input, one ring per polygon (holes not supported
+                # through this convenience mapping; use Polygon for those)
+                c = [[ring] for ring in c]
             feats.append({"type": geom_type, "coordinates": c,
                           "properties": dict(props) if props is not None else {},
                           "id": int(fid)})

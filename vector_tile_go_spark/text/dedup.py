@@ -30,6 +30,25 @@ BANDS = 4
 ROWS_PER_BAND = 4
 SIMHASH_BITS = 48
 
+# MinHash family: ONE md5 per shingle, then 16 affine rehashes
+# h_i = (a_i * h0 + b_i) mod (2^61 - 1) — the standard a*x+b family; at
+# 10^12 docs this is 16x less hashing than md5-per-seed. Constants derived
+# from md5 so the DuckDB oracle can re-generate them; a_i odd, < 2^29;
+# b_i < 2^60; products < 2^90 fit decimal(38,0) / HUGEINT exactly.
+MINHASH_P = (1 << 61) - 1
+
+
+def _minhash_consts() -> tuple[list[int], list[int]]:
+    import hashlib
+    a = [int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:7], 16) * 2 + 1
+         for i in range(N_HASHES)]
+    b = [int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:15], 16)
+         for i in range(N_HASHES)]
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _minhash_consts()
+
 
 def _h60(col, seed_col) -> F.Column:
     """60-bit md5-based hash, identical to the oracle's
@@ -91,12 +110,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
                        key_col: str = "doc_id") -> DataFrame:
-    """(doc_id, seed, minhash): the n-th min-hash of the shingle set."""
+    """(doc_id, seed, minhash): the i-th min-hash of the shingle set via the
+    affine family over one 60-bit md5 base hash per shingle (decimal(38,0)
+    keeps a_i * h0 + b_i exact; the oracle uses HUGEINT)."""
     sh = word_shingles(docs, n, text_col, key_col)
-    seeded = sh.withColumn("seed", F.explode(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1))))
-    return (seeded
-            .withColumn("h", _h60(F.col("shingle"), F.col("seed")))
+    h0 = _h60(F.col("shingle"), F.lit(0)).cast("decimal(38,0)")
+    hs = F.array(*[
+        ((F.lit(MINHASH_A[i]).cast("decimal(38,0)") * h0
+          + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).cast("long")
+        for i in range(N_HASHES)])
+    return (sh.select(key_col, F.posexplode(hs).alias("seed", "h"))
             .groupBy(key_col, "seed")
             .agg(F.min("h").alias("minhash")))
 

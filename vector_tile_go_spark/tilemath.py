@@ -85,9 +85,12 @@ def project_tile_to_lnglat(px, py, z, x, y, extent):
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    size = np.float64(extent) * (np.float64(2.0) ** z)
-    x0 = np.float64(extent) * np.float64(x)
-    y0 = np.float64(extent) * np.float64(y)
+    # scalar OR per-element arrays for z/x/y/extent (bulk decode path)
+    z = np.asarray(z, dtype=np.float64)
+    extent = np.asarray(extent, dtype=np.float64)
+    size = extent * (np.float64(2.0) ** z)
+    x0 = extent * np.asarray(x, dtype=np.float64)
+    y0 = extent * np.asarray(y, dtype=np.float64)
     lng = (px + x0) * 360.0 / size - 180.0
     y2 = 180.0 - (py + y0) * 360.0 / size
     lat = 360.0 / np.pi * np.arctan(np.exp(y2 * np.pi / 180.0)) - 90.0
