@@ -46,7 +46,7 @@ def project_points_bulk(z, x_arr, y_arr, lng, lat, extent: int = 4096,
     return px.astype(np.int32), py.astype(np.int32)
 
 
-def _varint(x: int) -> bytes:
+def _varint_raw(x: int) -> bytes:
     if x < 0x80:
         return bytes((x,))
     out = bytearray()
@@ -55,6 +55,20 @@ def _varint(x: int) -> bytes:
         x >>= 7
     out.append(x)
     return bytes(out)
+
+
+# precomputed varints for all 16-bit ints: dictionary indexes, zigzag'd
+# tile-local deltas, tag arrays, and frame lengths are almost always < 2^16,
+# so the hot loop does a list index instead of a python bit-twiddle loop
+# (the lookup-table analog of the reference's size-class-branched writers,
+# write_primitives.go:70-119)
+_VARINT_CACHE = [_varint_raw(i) for i in range(1 << 16)]
+
+
+def _varint(x: int) -> bytes:
+    if x < (1 << 16):
+        return _VARINT_CACHE[x]
+    return _varint_raw(x)
 
 
 def _packed(vals) -> bytes:
@@ -76,10 +90,10 @@ def encode_point_tiles_bulk(z: int, x_arr, y_arr, lng, lat, ids,
     tile. Rows must be grouped (sorted) so each slice is one tile.
     prop_cols values must already be numpy object arrays of str."""
     px, py = project_points_bulk(z, x_arr, y_arr, lng, lat, extent)
-    zzx = tm.zigzag_encode(px.astype(np.int32)).astype(np.int64)
-    zzy = tm.zigzag_encode(py.astype(np.int32)).astype(np.int64)
-    origin = (px == 0) & (py == 0)
-    ids = np.asarray(ids, dtype=np.int64)
+    zzx = tm.zigzag_encode(px.astype(np.int32)).astype(np.int64).tolist()
+    zzy = tm.zigzag_encode(py.astype(np.int32)).astype(np.int64).tolist()
+    origin = ((px == 0) & (py == 0)).tolist()
+    ids = np.asarray(ids, dtype=np.int64).tolist()
 
     keynames = sorted(prop_cols)
     cols = [prop_cols[k] for k in keynames]
@@ -98,7 +112,7 @@ def encode_point_tiles_bulk(z: int, x_arr, y_arr, lng, lat, ids,
         feats = bytearray()
         for i in range(s, e):
             parts = bytearray()
-            fid = int(ids[i])
+            fid = ids[i]
             if fid != 0:
                 parts += b"\x08" + _varint(fid & 0xFFFFFFFFFFFFFFFF)
             if keynames:
@@ -117,7 +131,7 @@ def encode_point_tiles_bulk(z: int, x_arr, y_arr, lng, lat, ids,
             if origin[i]:
                 parts += b"\x01\x09"  # packed [9]
             else:
-                parts += _packed((9, int(zzx[i]), int(zzy[i])))
+                parts += _packed((9, zzx[i], zzy[i]))
             feats += b"\x12" + _varint(len(parts)) + parts
         body = name_bytes + bytes(feats) + keys_bytes + bytes(values_bytes) + tail
         out.append(b"\x1a" + _varint(len(body)) + body)

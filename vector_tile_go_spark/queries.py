@@ -551,6 +551,41 @@ def q_multipoint_roundtrip(spark, sf_dir):
     return v.select("nk", "j", "ix", "iy", "gtype")
 
 
+def q_reduce_bbox_cull(spark, sf_dir):
+    """Zoom-reduction keep/drop for lines/polygons (feature_reduce.go:219-239):
+    keep a feature at zoom z iff its bbox spans more than 0.5% of the tile's
+    extent in x or y. Evaluated for every nation triangle at z = 0..8
+    against the tile containing its centroid; spans in degrees exactly as
+    the reference computes them from mercantile Bounds (Extrema)."""
+    from .spatial.polygons import query_points, triangles_df
+    tri = triangles_df(spark, sf_dir)
+    q = query_points(spark, sf_dir)
+    t = (tri.join(q, tri.n_nationkey == q.qid)
+         .withColumn("z", F.explode(F.sequence(F.lit(0), F.lit(8)))))
+    n = F.pow(F.lit(2.0), F.col("z"))
+    # dynamic-zoom tile row of the centroid (mercantile formula, clamped);
+    # only ty matters: the tile's x-span is 360/n degrees at every x
+    lat_c = F.radians(F.least(F.greatest(F.col("qlat"),
+                                         F.lit(-85.051128779806)),
+                              F.lit(85.051128779806)))
+    import math
+    tyf = F.least(
+        F.greatest(F.floor((F.lit(1.0) - F.log(F.tan(lat_c) + 1.0
+                                               / F.cos(lat_c))
+                            / F.lit(math.pi)) / 2.0 * n), F.lit(0)), n - 1)
+    t = t.withColumn("ty", tyf)
+    # tile bounds in degrees: dx = 360/n exactly; dy from the sinh formula
+    pi = F.lit(math.pi)
+    lat_n = F.degrees(F.atan(F.sinh(pi * (1.0 - 2.0 * F.col("ty") / n))))
+    lat_s = F.degrees(F.atan(F.sinh(pi * (1.0 - 2.0 * (F.col("ty") + 1.0) / n))))
+    dx = F.lit(360.0) / n
+    dy = lat_n - lat_s
+    keep = (((F.col("east") - F.col("west")) / dx > 0.005) |
+            ((F.col("north") - F.col("south")) / dy > 0.005))
+    return t.select(F.col("n_nationkey").alias("nk"), "z",
+                    keep.cast("int").alias("keep"))
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN (similarity/ann.py): coarse-centroid inverted lists, one
     shuffle on centroid id. Probed at n_probe = n_centroids here so recall
@@ -624,6 +659,7 @@ QUERIES = {
     "multipolygon_roundtrip": q_multipolygon_roundtrip,
     "polygon_holes_roundtrip": q_polygon_holes_roundtrip,
     "multipoint_roundtrip": q_multipoint_roundtrip,
+    "reduce_bbox_cull": q_reduce_bbox_cull,
 }
 
 _SHINGLES_CTE = """
@@ -875,6 +911,7 @@ FROM documents WHERE doc_id % 4 > 0 GROUP BY 1""",
                        f"(((y0 + y1 + y2) / 3.0) + 0.25 * (y{i} - ((y0 + y1 + y2) / 3.0)))"),
             "w > 0", "w <= 0", "Polygon"),
         "multipoint_roundtrip": _multipoint_vertices_sql(),
+        "reduce_bbox_cull": _reduce_bbox_cull_sql(),
         "ann_ivf": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 5),
@@ -928,6 +965,41 @@ SELECT n_nationkey AS nk, CAST(r AS INT) AS r, CAST(g.j AS INT) AS j,
        ELSE CASE WHEN keep THEN iy2 ELSE iy1 END END AS iy,
   '{gtype}' AS gtype
 FROM k, (SELECT unnest(range(0, 4)) AS j) g"""
+
+
+def _reduce_bbox_cull_sql() -> str:
+    """Oracle for the line/polygon zoom-reduction cull: bbox span over tile
+    span in degrees vs the 0.005 default (feature_reduce.go:10,219-239).
+    Threshold compare, not exact-int parity, so DuckDB's exp-based sinh is
+    fine against Spark's builtin."""
+    from .spatial import polygons
+
+    def sinh(t: str) -> str:
+        return f"((EXP({t}) - EXP(-({t}))) / 2.0)"
+
+    lat_cl = "RADIANS(LEAST(GREATEST(qlat, -85.051128779806), 85.051128779806))"
+    return f"""
+WITH {polygons.sql_triangles_cte()},
+{polygons.sql_query_points_cte()},
+j AS (SELECT t.*, q.qlat, q.qlng FROM triangles t
+      JOIN qpts q ON q.qid = t.n_nationkey),
+g AS (SELECT n_nationkey,
+        LEAST(x0, x1, x2) AS west, GREATEST(x0, x1, x2) AS east,
+        LEAST(y0, y1, y2) AS south, GREATEST(y0, y1, y2) AS north,
+        qlat, qlng, zs.z, POWER(2.0, zs.z) AS n
+      FROM j, (SELECT unnest(range(0, 9)) AS z) zs),
+tz AS (SELECT *,
+        LEAST(GREATEST(FLOOR((1.0 - LN(TAN({lat_cl}) + 1.0/COS({lat_cl}))
+          / PI()) / 2.0 * n), 0), n - 1) AS ty
+      FROM g),
+b AS (SELECT *,
+        DEGREES(ATAN({sinh('PI() * (1.0 - 2.0 * ty / n)')})) -
+        DEGREES(ATAN({sinh('PI() * (1.0 - 2.0 * (ty + 1.0) / n)')})) AS dy
+      FROM tz)
+SELECT n_nationkey AS nk, CAST(z AS INT) AS z,
+       CAST(((east - west) / (360.0 / n) > 0.005) OR
+            ((north - south) / dy > 0.005) AS INT) AS keep
+FROM b"""
 
 
 def _multipoint_vertices_sql() -> str:

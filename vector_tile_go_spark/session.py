@@ -30,9 +30,21 @@ def get_spark(app_name: str = "vector_tile_go_spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Spark sets -Xms = -Xmx = driver.memory: size it to the core budget
+        # so several executor JVMs co-exist without over-committing the box
+        # (4 x 48g heaps on 125 GB RAM = reclaim storms, measured 3x
+        # slowdown); 1.5 GB/core mirrors a common executor shape.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cores * 3 // 2)}g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # shuffle/spill on tmpfs: this sandbox's virtio disk writes ~120MB/s
+        # and dirty-page writeback throttling stalls concurrent shuffles in
+        # the kernel (measured: sys 30%, idle 33% with 4 pinned JVMs);
+        # cluster nodes put spark.local.dir on local NVMe, tmpfs is the
+        # sandbox equivalent
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                                                  "/dev/shm/spark-local"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -236,9 +236,13 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
 
     if prop_cols is None:
         return tiles.mapInPandas(decode_batch, FEATURE_SCHEMA)
-    schema = FEATURE_SCHEMA.replace(
-        "properties map<string,string>",
-        ", ".join(f"{c} string" for c in prop_cols))
+    if prop_cols:
+        schema = FEATURE_SCHEMA.replace(
+            "properties map<string,string>",
+            ", ".join(f"{c} string" for c in prop_cols))
+    else:  # properties projected away entirely
+        schema = FEATURE_SCHEMA.replace(
+            ", properties map<string,string>", "")
     return tiles.mapInPandas(decode_batch, schema)
 
 
