@@ -101,3 +101,31 @@ def test_stream_upsert_resume_is_idempotent(spark, sf_dir, tmp_path):
     stream_upsert_tiles(stream2, store, ckpt,
                         prop_cols=("mention_idx",)).awaitTermination()
     assert resume_info(store)["snapshot_id"] == snap_before
+
+
+def test_stateful_running_totals_cross_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState carries state across real micro-batches: with
+    the source split into 4 files at one file per trigger, a key appearing
+    in several batches emits several increasing cumulative rows."""
+    from pyspark.sql import functions as F
+
+    from vector_tile_go_spark.streaming.events import (
+        run_stream_to_memory, split_events_source, stateful_running_totals)
+    src = str(tmp_path / "evsplit")
+    s = stateful_running_totals(split_events_source(spark, sf_dir, src))
+    tbl = run_stream_to_memory(s, spark, output_mode="update")
+    rows = tbl.collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.event_type, []).append(r.cum_events)
+    # at least one key spans multiple batches with strictly growing counts
+    multi = [sorted(v) for v in per_key.values() if len(v) > 1]
+    assert multi, "expected cross-batch state updates"
+    assert all(a < b for v in multi for a, b in zip(v, v[1:]))
+    # final totals equal the batch aggregate
+    batch = dict(spark.read.parquet(f"{sf_dir}/events.parquet")
+                 .groupBy("event_type").agg(F.count("*").alias("n"))
+                 .collect())
+    final = {k: max(v) for k, v in per_key.items()}
+    assert final == {r[0]: r[1] for r in batch.items()} or \
+        final == batch

@@ -194,6 +194,22 @@ def q_events_stream_windows(spark, sf_dir):
     return run_stream_to_memory(s, spark)
 
 
+def q_events_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/events.py): running per-event_type totals across 4 real
+    micro-batches; the final accumulated state must equal the batch
+    aggregate (the oracle)."""
+    import tempfile
+    from .streaming.events import (run_stream_to_memory, split_events_source,
+                                   stateful_running_totals)
+    src = tempfile.mkdtemp(prefix="evsplit_", dir="/dev/shm")
+    s = stateful_running_totals(split_events_source(spark, sf_dir, src))
+    tbl = run_stream_to_memory(s, spark, output_mode="update")
+    return (tbl.groupBy("event_type")
+            .agg(F.max("cum_events").alias("n_events"),
+                 F.max_by("cum_value", "cum_events").alias("total_value")))
+
+
 def q_hot_domains(spark, sf_dir):
     """Skew surface: mentions per domain — the hot domain dominates; the
     engine handles it via salted encode (sparkops/udfs.py) and AQE."""
@@ -631,6 +647,7 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "events_windows": q_events_windows,
     "events_stream_windows": q_events_stream_windows,
+    "events_stateful_totals": q_events_stateful_totals,
     "hot_domains": q_hot_domains,
     "pip_join": q_pip_join,
     "knn": q_knn,
@@ -888,6 +905,9 @@ GROUP BY l_returnflag, l_linestatus""",
 SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start,
        event_type, COUNT(*) AS n_events, SUM(value) AS total_value
 FROM events GROUP BY 1, 2""",
+        "events_stateful_totals": """
+SELECT event_type, COUNT(*) AS n_events, SUM(value) AS total_value
+FROM events GROUP BY event_type""",
         "events_stream_windows": """
 SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start,
        event_type, COUNT(*) AS n_events, SUM(value) AS total_value

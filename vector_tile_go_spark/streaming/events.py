@@ -73,6 +73,49 @@ def run_stream_to_memory(df: DataFrame, spark: SparkSession,
     return spark.table(name)
 
 
+def split_events_source(spark: SparkSession, sf_dir: str, out_dir: str,
+                        n_files: int = 4) -> DataFrame:
+    """Split the events table into n files and stream them one per trigger —
+    n real micro-batches, so cross-batch state is actually exercised."""
+    (spark.read.parquet(f"{sf_dir}/events.parquet")
+     .repartition(n_files).write.mode("overwrite").parquet(out_dir))
+    return (spark.readStream
+            .schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(out_dir))
+
+
+def stateful_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per event_type
+    running (count, value-sum) carried in GroupState across micro-batches,
+    one update row emitted per key per batch. The streaming analog of a
+    hypertable running rollup; the reference has no streaming surface, so
+    this is a north-rule addition (SURVEY.md §2.9)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        v = 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        if state.exists:
+            pn, pv = state.get
+            n += pn
+            v += pv
+        state.update((n, v))
+        yield pd.DataFrame({"event_type": [key[0]],
+                            "cum_events": [n], "cum_value": [v]})
+
+    return (stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        "event_type string, cum_events bigint, cum_value double",
+        "cum_events bigint, cum_value double",
+        "update", GroupStateTimeout.NoTimeout))
+
+
 def stream_upsert_tiles(entity_stream: DataFrame, store_path: str,
                         checkpoint_path: str, layer_name: str = "geo",
                         prop_cols: tuple[str, ...] = ("mention_idx",)):
