@@ -70,3 +70,30 @@ def test_multi_features_share_tile_sorted_by_id(spark):
     assert tiles.count() == 1
     v = decode_tile_vertices(tiles).toPandas()
     assert sorted(v["feature_id"].unique()) == [1, 2]
+
+
+def test_decode_prop_cols_projection(spark):
+    """decode_tiles prop_cols: flat string columns instead of the map, and
+    () drops properties entirely — the lazy property projection."""
+    import pandas as pd
+
+    from vector_tile_go_spark.sparkops.udfs import (decode_tiles,
+                                                    encode_point_tiles)
+    pdf = pd.DataFrame({
+        "z": [8] * 4, "x": [100, 100, 101, 101], "y": [97] * 4,
+        "lng": [-38.0, -38.01, -36.6, -36.61], "lat": [40.0, 40.01, 40.0, 40.01],
+        "doc_id": [1, 2, 3, 4],
+        "url": [f"https://www.ex.org/doc/{i}" for i in range(4)],
+        "mention_idx": ["0", "1", "0", "1"]})
+    df = spark.createDataFrame(pdf)
+    tiles = encode_point_tiles(df, layer_name="geo",
+                               prop_cols=("url", "mention_idx"))
+    flat = decode_tiles(tiles, mode="props",
+                        prop_cols=("url",)).toPandas()
+    assert "url" in flat.columns and "properties" not in flat.columns
+    assert sorted(flat["url"]) == sorted(pdf["url"])
+    none = decode_tiles(tiles, mode="props", prop_cols=()).toPandas()
+    assert "properties" not in none.columns and "url" not in none.columns
+    assert len(none) == 4
+    full = decode_tiles(tiles, mode="props").toPandas()
+    assert sorted(p["url"] for p in full["properties"]) == sorted(pdf["url"])

@@ -142,6 +142,22 @@ def q_roundtrip_geometry(spark, sf_dir):
                         (F.col("ry") == F.col("y"))).cast("long")).alias("n_in_tile")))
 
 
+def q_roundtrip_salted(spark, sf_dir):
+    """Skew-resistant encode (encode_point_tiles_salted): hash-salted
+    partial layers per tile, re-merged by binary concat (compositing
+    property) — the hot-tile path of the north rule. Decode must recover
+    exactly the same per-tile features as the unsalted encode, so the
+    oracle is identical to roundtrip_counts."""
+    from .sparkops.udfs import encode_point_tiles_salted
+    e = entities_df(spark, sf_dir)
+    tiles = encode_point_tiles_salted(e, layer_name="geo",
+                                      prop_cols=("url", "mention_idx"))
+    feats = decode_tiles(tiles, mode="props")
+    return (feats.groupBy("z", "x", "y")
+            .agg(F.count("*").alias("n_features"),
+                 F.countDistinct(F.col("properties")["url"]).alias("n_urls")))
+
+
 def q_geobuf_roundtrip(spark, sf_dir):
     """Alternate-source ingestion (WriteLayerGeobuf, write_layer.go:218-267):
     entities -> per-tile geobuf feature streams -> transcode to MVT layers ->
@@ -642,6 +658,7 @@ QUERIES = {
     "reduce_points": q_reduce_points,
     "tile_dict_stats": q_tile_dict_stats,
     "roundtrip_counts": q_roundtrip_counts,
+    "roundtrip_salted": q_roundtrip_salted,
     "roundtrip_geometry": q_roundtrip_geometry,
     "geobuf_roundtrip": q_geobuf_roundtrip,
     "lineitem_pricing": q_lineitem_pricing,
@@ -879,6 +896,10 @@ FROM documents""",
             "SELECT z, x, y, COUNT(*) AS n_features, 2 AS n_keys, "
             "COUNT(DISTINCT doc_id) + COUNT(DISTINCT j) AS n_values "
             "FROM tiled GROUP BY z, x, y",
+            zoom=ZOOM),
+        "roundtrip_salted": _mentions_oracle(
+            "SELECT z, x, y, COUNT(*) AS n_features, "
+            "COUNT(DISTINCT doc_id) AS n_urls FROM tiled GROUP BY z, x, y",
             zoom=ZOOM),
         "roundtrip_counts": _mentions_oracle(
             "SELECT z, x, y, COUNT(*) AS n_features, "
