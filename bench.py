@@ -17,8 +17,10 @@ per-JVM JIT warmup is excluded, and reports both throughputs + the
 efficiency ratio.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_AMPLIFY (default 24),
-     SPARK_GRAFT_BENCH_ZOOM (default 8), SPARK_GRAFT_TRIALS (default 1).
+     SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_AMPLIFY (default 96),
+     SPARK_GRAFT_BENCH_ZOOM (default 8), SPARK_GRAFT_TRIALS (default 2:
+     per-query best-of-2 so one-time JVM JIT/codegen compilation — a
+     constant a long cluster job amortizes — is excluded from timings).
 """
 
 from __future__ import annotations
@@ -103,11 +105,14 @@ def run_suite(cores: int, sf_dir: str, amplify: int) -> dict:
     # codegen compilation (measured: 24s -> 5s on the LSH query), a per-JVM
     # constant that a long cluster job amortizes to zero; steady-state is
     # the honest per-throughput number at any cluster size.
-    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "1"))
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
 
-    def timed(name, fn):
+    def timed(name, fn, reset=None):
         best, out = None, None
-        for _ in range(trials):
+        for i in range(trials):
+            if i and reset is not None:
+                reset()  # drop internal .cache()s so every trial runs the
+                # full chain (Spark shares cache entries by logical plan)
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
@@ -166,8 +171,12 @@ def run_suite(cores: int, sf_dir: str, amplify: int) -> dict:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from vector_tile_go_spark.text.dedup import minhash_lsh_pairs, simhash_pairs
-    timed("minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.3).count())
-    timed("simhash", lambda: simhash_pairs(docs, max_hamming=3).count())
+    # dedup operators cache intermediates internally; clear between trials
+    # (runs after the tile stages, so dropping the tile cache is harmless)
+    timed("minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.3).count(),
+          reset=spark.catalog.clearCache)
+    timed("simhash", lambda: simhash_pairs(docs, max_hamming=3).count(),
+          reset=spark.catalog.clearCache)
 
     from vector_tile_go_spark.similarity.ann import brute_force_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -343,7 +352,7 @@ def main():
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--amplify", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_AMPLIFY", "24")))
+                    default=int(os.environ.get("SPARK_GRAFT_AMPLIFY", "96")))
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pipeline-shard", type=int, default=None)
     ap.add_argument("--n-shards", type=int, default=1)

@@ -567,6 +567,35 @@ def q_polygon_holes_roundtrip(spark, sf_dir):
     return _geom_vertices(df, "Polygon", "nations_h")
 
 
+def q_typed_values(spark, sf_dir):
+    """The 7-type MVT Value variant through the distributed path
+    (write_primitives.go:202-243): string/int64/double/bool properties per
+    nation survive encode -> decode with python-native types; ptypes
+    asserts the runtime types, not just the values."""
+    from .sparkops.udfs import decode_tile_props_typed, encode_geojson_tiles
+    from .spatial.polygons import query_points
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet") \
+        .select("n_nationkey", "n_name")
+    q = query_points(spark, sf_dir)
+    t = n.join(q, n.n_nationkey == q.qid)
+    tx, ty = geo.tile_xy_cols(Z_POLY, F.col("qlat"), F.col("qlng"))
+    props_json = F.to_json(F.struct(
+        F.col("n_name").alias("name"),
+        F.col("n_nationkey").cast("long").alias("nk"),
+        (F.col("n_nationkey") / 7.0).alias("frac"),
+        (F.col("n_nationkey") % 2 == 0).alias("flag")))
+    pt = F.array(F.array(F.array(F.col("qlng"), F.col("qlat"))))
+    df = t.select(F.lit(Z_POLY).alias("z"), tx.alias("x"), ty.alias("y"),
+                  (F.col("n_nationkey") + 1).cast("long").alias("feature_id"),
+                  pt.alias("coords"), props_json.alias("props"))
+    tiles = encode_geojson_tiles(df, "Point", layer_name="typed")
+    out = decode_tile_props_typed(tiles, {"name": "string", "nk": "bigint",
+                                          "frac": "double",
+                                          "flag": "boolean"})
+    return out.select((F.col("feature_id") - 1).alias("nk_id"),
+                      "name", "nk", "frac", "flag", "ptypes")
+
+
 def q_multipoint_roundtrip(spark, sf_dir):
     """MultiPoint codec (MakeMultiPointFloat): every point gets its own
     MoveTo (always written, even on zero delta — write_geometry.go:108-114);
@@ -693,6 +722,7 @@ QUERIES = {
     "multipolygon_roundtrip": q_multipolygon_roundtrip,
     "polygon_holes_roundtrip": q_polygon_holes_roundtrip,
     "multipoint_roundtrip": q_multipoint_roundtrip,
+    "typed_values": q_typed_values,
     "reduce_bbox_cull": q_reduce_bbox_cull,
 }
 
@@ -952,6 +982,11 @@ FROM documents WHERE doc_id % 4 > 0 GROUP BY 1""",
                        f"(((y0 + y1 + y2) / 3.0) + 0.25 * (y{i} - ((y0 + y1 + y2) / 3.0)))"),
             "w > 0", "w <= 0", "Polygon"),
         "multipoint_roundtrip": _multipoint_vertices_sql(),
+        "typed_values": """
+SELECT n_nationkey AS nk_id, n_name AS name, n_nationkey AS nk,
+       n_nationkey / 7.0 AS frac, (n_nationkey % 2 = 0) AS flag,
+       'bool,float,str,int' AS ptypes
+FROM nation""",
         "reduce_bbox_cull": _reduce_bbox_cull_sql(),
         "ann_ivf": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

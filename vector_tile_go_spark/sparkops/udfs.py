@@ -348,6 +348,8 @@ def encode_geojson_tiles(features: DataFrame, geom_type: str,
     admin area vs points per document), so a grouped ``applyInPandas`` with
     per-feature Python is the right cost model here; the web-scale fact
     path stays on ``encode_point_tiles``."""
+    import json
+
     from ..codec.encode import encode_layer
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -361,10 +363,16 @@ def encode_geojson_tiles(features: DataFrame, geom_type: str,
                 c = c[0]
             elif geom_type == "MultiPoint":
                 c = c[0]
+            elif geom_type == "Point":
+                c = c[0][0]
             elif geom_type == "MultiPolygon":
                 # 3-level input, one ring per polygon (holes not supported
                 # through this convenience mapping; use Polygon for those)
                 c = [[ring] for ring in c]
+            if isinstance(props, str):
+                # JSON-typed properties: str/int/float/bool survive as the
+                # MVT Value variant types (codec/values.py write_value)
+                props = json.loads(props)
             feats.append({"type": geom_type, "coordinates": c,
                           "properties": dict(props) if props is not None else {},
                           "id": int(fid)})
@@ -421,6 +429,47 @@ def decode_tile_vertices(tiles: DataFrame, scale_dim: float | None = None) -> Da
               "ix bigint, iy bigint")
     if scale_dim is not None:
         schema += ", sx bigint, sy bigint"
+    return tiles.mapInPandas(run, schema)
+
+
+def decode_tile_props_typed(tiles: DataFrame,
+                            prop_schema: dict[str, str]) -> DataFrame:
+    """Decode features to flat TYPED property columns — the 7-type MVT
+    Value variant (write_primitives.go:202-243 / read_layer.go:97-114)
+    surviving the distributed round trip with python-native types.
+
+    ``prop_schema``: {prop_name: spark_type} e.g. {"nk": "bigint",
+    "frac": "double", "flag": "boolean", "name": "string"}. Adds a
+    ``ptypes`` column with the decoded python type names (sorted by prop)
+    so tests/oracles can assert type preservation, not just values."""
+    from ..codec.decode import decode_feature, parse_tile
+
+    names = sorted(prop_schema)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {"feature_id": [], "ptypes": []}
+            for c in names:
+                cols[c] = []
+            for buf in pdf["tile_pbf"]:
+                if buf is None:
+                    continue
+                for lf in parse_tile(bytes(buf)):
+                    for span in lf.feature_spans:
+                        f = decode_feature(lf, span, mode="props")
+                        if f is None:
+                            continue
+                        cols["feature_id"].append(f.feature_id)
+                        tags = []
+                        for c in names:
+                            v = f.properties.get(c)
+                            cols[c].append(v)
+                            tags.append(type(v).__name__)
+                        cols["ptypes"].append(",".join(tags))
+            yield pd.DataFrame(cols)
+
+    schema = "feature_id bigint, ptypes string, " + ", ".join(
+        f"{c} {prop_schema[c]}" for c in names)
     return tiles.mapInPandas(run, schema)
 
 

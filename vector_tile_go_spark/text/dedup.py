@@ -108,20 +108,29 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     return out
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
-                       key_col: str = "doc_id") -> DataFrame:
-    """(doc_id, seed, minhash): the i-th min-hash of the shingle set via the
-    affine family over one 60-bit md5 base hash per shingle (decimal(38,0)
-    keeps a_i * h0 + b_i exact; the oracle uses HUGEINT)."""
+def minhash_signature_table(docs: DataFrame, n: int = 3,
+                            text_col: str = "text",
+                            key_col: str = "doc_id") -> DataFrame:
+    """Wide signature table (doc_id, mh0..mh15): the i-th min-hash as a
+    column, computed with ONE shuffle — 16 min() aggregates over the affine
+    family h_i = (a_i*h0 + b_i) mod p (decimal(38,0) keeps the product
+    exact; the oracle uses HUGEINT). No row explosion: the narrow
+    (doc, seed, minhash) layout would shuffle 16x the rows."""
     sh = word_shingles(docs, n, text_col, key_col)
     h0 = _h60(F.col("shingle"), F.lit(0)).cast("decimal(38,0)")
-    hs = F.array(*[
-        ((F.lit(MINHASH_A[i]).cast("decimal(38,0)") * h0
-          + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).cast("long")
-        for i in range(N_HASHES)])
-    return (sh.select(key_col, F.posexplode(hs).alias("seed", "h"))
-            .groupBy(key_col, "seed")
-            .agg(F.min("h").alias("minhash")))
+    aggs = [F.min(((F.lit(MINHASH_A[i]).cast("decimal(38,0)") * h0
+                    + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).cast("long"))
+            .alias(f"mh{i}") for i in range(N_HASHES)]
+    return sh.groupBy(key_col).agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text",
+                       key_col: str = "doc_id") -> DataFrame:
+    """(doc_id, seed, minhash) narrow view of minhash_signature_table."""
+    w = minhash_signature_table(docs, n, text_col, key_col)
+    stack = "stack(%d, %s) as (seed, minhash)" % (
+        N_HASHES, ", ".join(f"{i}, mh{i}" for i in range(N_HASHES)))
+    return w.select(key_col, F.expr(stack))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -129,13 +138,19 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     """MinHash-LSH near-dup join: band-bucket candidates, exact-Jaccard
     verified. Returns (da, db, n_common, n_union) like ngram_jaccard_pairs
     — but candidates come from the LSH buckets, not an all-pairs join."""
-    sig = minhash_signatures(docs, n, text_col, key_col)
-    # band signature: minhashes concatenated in seed order (deterministic)
-    sig_s = (sig.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
-             .groupBy(key_col, "band")
-             .agg(F.array_join(F.transform(
-                 F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
-                 lambda s: s["minhash"].cast("string")), ",").alias("band_sig")))
+    w = minhash_signature_table(docs, n, text_col, key_col)
+    # band signature: minhashes concatenated in seed order, derived from the
+    # wide table without a second shuffle
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                           for r in range(ROWS_PER_BAND)]).alias(f"b{b}")
+        for b in range(BANDS)]
+    stack = "stack(%d, %s) as (band, band_sig)" % (
+        BANDS, ", ".join(f"{b}, b{b}" for b in range(BANDS)))
+    sig_s = (w.select(key_col, *band_cols)
+             .select(key_col, F.expr(stack))
+             .cache())  # both sides of the self-join read it; uncached the
+    # whole shingle->minhash chain would run twice
     la = sig_s.toDF("da", "band", "band_sig")
     lb = sig_s.toDF("db", "band", "band_sig")
     cand = (la.join(lb, ["band", "band_sig"])
