@@ -74,6 +74,18 @@ def q_tile_rollup(spark, sf_dir):
             .agg(F.count("*").alias("n_mentions")))
 
 
+def q_tile_cube(spark, sf_dir):
+    """Grouping-sets surface (SURVEY.md §2.4: cube/rollup exposed for tile
+    stats): mention counts cubed over (lang, mention_idx) — all four
+    grouping-set combinations in one pass."""
+    e = extract_geo_entities(build_pages(spark, sf_dir))
+    d = load_documents(spark, sf_dir).select("doc_id", "lang")
+    return (e.join(d, "doc_id")
+            .cube("lang", "mention_idx")
+            .agg(F.count("*").alias("n_mentions"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
 def q_bbox_by_lang(spark, sf_dir):
     """Bounding-box monoid aggregation (feature_reduce.go:44-117) grouped by
     page language — partial+final min/max agg, joined to documents."""
@@ -679,11 +691,35 @@ def q_multimodal_decode(spark, sf_dir):
     return fake_decode(attach_fake_images(d))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize planning over decoded image metadata
+    (text/multimodal.py resize_stub; the pixel resample lives in the
+    stubbed codec per the no-image-libs container)."""
+    from .text.multimodal import attach_fake_images, fake_decode, resize_stub
+    d = load_documents(spark, sf_dir)
+    r = resize_stub(fake_decode(attach_fake_images(d)), target=64)
+    return r.select("doc_id", "width", "height", "out_width", "out_height")
+
+
+def q_frame_sample(spark, sf_dir):
+    """Frame-sampling plan for fake video payloads: every-30th frame index
+    of an n_frames = doc_id %% 900 + 30 clip (text/multimodal.py
+    frame_sample_plan)."""
+    from .text.multimodal import frame_sample_plan
+    d = load_documents(spark, sf_dir).select("doc_id")
+    n = (F.col("doc_id") % 900 + 30).cast("int")
+    plan = frame_sample_plan(n, every=30)
+    return d.select("doc_id", n.alias("n_frames"),
+                    F.size(plan).alias("n_sampled"),
+                    F.element_at(plan, -1).alias("last_frame"))
+
+
 QUERIES = {
     "geo_extract": q_geo_extract,
     "tile_assign": q_tile_assign,
     "tile_rollup": q_tile_rollup,
     "bbox_by_lang": q_bbox_by_lang,
+    "tile_cube": q_tile_cube,
     "reduce_points": q_reduce_points,
     "tile_dict_stats": q_tile_dict_stats,
     "roundtrip_counts": q_roundtrip_counts,
@@ -716,6 +752,8 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "cosine_pairs": q_cosine_pairs,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "frame_sample": q_frame_sample,
     "polygon_roundtrip": q_polygon_roundtrip,
     "linestring_roundtrip": q_linestring_roundtrip,
     "scaled_geometry": q_scaled_geometry,
@@ -874,6 +912,22 @@ SELECT doc_id,
        GREATEST({', '.join(px_terms)}) AS px_max,
        LEAST({', '.join(px_terms)}) AS px_min
 FROM documents""",
+        "multimodal_resize": """
+SELECT doc_id,
+       CAST(doc_id % 624 + 16 AS INT) AS width,
+       CAST(doc_id % 464 + 16 AS INT) AS height,
+       CAST(GREATEST(FLOOR((doc_id % 624 + 16) *
+            LEAST(64.0 / (doc_id % 624 + 16), 64.0 / (doc_id % 464 + 16))), 1)
+            AS INT) AS out_width,
+       CAST(GREATEST(FLOOR((doc_id % 464 + 16) *
+            LEAST(64.0 / (doc_id % 624 + 16), 64.0 / (doc_id % 464 + 16))), 1)
+            AS INT) AS out_height
+FROM documents""",
+        "frame_sample": """
+SELECT doc_id, CAST(doc_id % 900 + 30 AS INT) AS n_frames,
+       CAST((doc_id % 900 + 30 - 1) // 30 + 1 AS INT) AS n_sampled,
+       30 * ((doc_id % 900 + 30 - 1) // 30) AS last_frame
+FROM documents""",
         "pip_join": _mentions_oracle(
             "SELECT t.n_nationkey, COUNT(*) AS n_inside, "
             "COUNT(DISTINCT m.doc_id) AS n_docs "
@@ -912,6 +966,11 @@ FROM documents""",
             f"SELECT x // {1 << (ZOOM - 4)} AS x4, y // {1 << (ZOOM - 4)} AS y4, "
             "COUNT(*) AS n_mentions FROM tiled GROUP BY 1, 2",
             zoom=ZOOM),
+        "tile_cube": _mentions_oracle(
+            "SELECT d.lang, m.j AS mention_idx, COUNT(*) AS n_mentions, "
+            "COUNT(DISTINCT m.doc_id) AS n_docs "
+            "FROM mentions m JOIN documents d USING (doc_id) "
+            "GROUP BY CUBE (d.lang, m.j)"),
         "bbox_by_lang": _mentions_oracle(
             "SELECT d.lang, MIN(m.lng) AS west, MIN(m.lat) AS south, "
             "MAX(m.lng) AS east, MAX(m.lat) AS north, COUNT(*) AS n_mentions "
