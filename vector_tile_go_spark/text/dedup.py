@@ -174,23 +174,26 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 def simhash(docs: DataFrame, text_col: str = "text",
             key_col: str = "doc_id") -> DataFrame:
     """48-bit SimHash over word unigrams: bit b set iff the sum of
-    (+1 if bit b of h(token) else -1) over distinct tokens is positive."""
+    (+1 if bit b of h(token) else -1) over distinct tokens is positive.
+
+    One aggregation with 48 vote columns — the naive (key, bit) layout
+    explodes rows 48x and needs two more shuffles for identical math."""
     toks = (docs.select(key_col, F.explode(F.split(F.col(text_col), " "))
                         .alias("tok"))
             .filter(F.col("tok") != "").distinct()
             .withColumn("h", _h60(F.col("tok"), F.lit(0))))
-    bits = toks.withColumn("bit", F.explode(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))))
-    votes = (bits
-             .withColumn("vote", F.expr(
-                 "CASE WHEN (shiftrightunsigned(h, bit) & 1) = 1 "
-                 "THEN 1 ELSE -1 END"))
-             .groupBy(key_col, "bit").agg(F.sum("vote").alias("v")))
-    return (votes
-            .withColumn("bitval", F.expr(
-                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
-                "ELSE CAST(0 AS BIGINT) END"))
-            .groupBy(key_col).agg(F.sum("bitval").alias("simhash")))
+    aggs = [F.sum(F.expr(
+        f"CASE WHEN (shiftrightunsigned(h, {b}) & 1) = 1 "
+        "THEN 1 ELSE -1 END")).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)]
+    w = toks.groupBy(key_col).agg(*aggs)
+    bitvals = [F.when(F.col(f"v{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+               for b in range(SIMHASH_BITS)]
+    total = bitvals[0]
+    for bv in bitvals[1:]:
+        total = total + bv
+    return w.select(key_col, total.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
