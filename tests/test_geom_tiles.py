@@ -97,3 +97,12 @@ def test_decode_prop_cols_projection(spark):
     assert len(none) == 4
     full = decode_tiles(tiles, mode="props").toPandas()
     assert sorted(p["url"] for p in full["properties"]) == sorted(pdf["url"])
+
+
+def test_multilinestring_roundtrip(spark):
+    lines = [[[0.0, 0.0], [10.0, 10.0]], [[20.0, 0.0], [30.0, 5.0], [40.0, 0.0]]]
+    df = _mk_df(spark, [(0, 0, 0, 3, lines, {})])
+    tiles = encode_geojson_tiles(df, "MultiLineString", layer_name="t")
+    v = decode_tile_vertices(tiles).toPandas()
+    assert list(v["geojson_type"].unique()) == ["MultiLineString"]
+    assert sorted(v.groupby("ring_idx").size().tolist()) == [2, 3]

@@ -199,6 +199,27 @@ def q_lineitem_pricing(spark, sf_dir):
                  F.count("*").alias("count_order")))
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: three-way join customer -> orders -> lineitem with
+    date predicates and top-10 by revenue — the multi-join relational
+    surface (broadcast dim + shuffled fact join under AQE)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = (c.filter(F.col("c_mktsegment") == "BUILDING")
+         .join(o, F.col("c_custkey") == F.col("o_custkey"))
+         .filter(F.col("o_orderdate") < "1995-03-15")
+         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+         .filter(F.col("l_shipdate") > "1995-03-15"))
+    return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+            .limit(10)
+            .select("l_orderkey", F.unix_timestamp("o_orderdate")
+                    .alias("odate"), "o_orderpriority", "revenue"))
+
+
 def q_events_windows(spark, sf_dir):
     """Tumbling 10-minute windows over the events stream table (batch view of
     the streaming operator; the structured-streaming twin lives in
@@ -727,6 +748,7 @@ QUERIES = {
     "roundtrip_geometry": q_roundtrip_geometry,
     "geobuf_roundtrip": q_geobuf_roundtrip,
     "lineitem_pricing": q_lineitem_pricing,
+    "shipping_priority": q_shipping_priority,
     "events_windows": q_events_windows,
     "events_stream_windows": q_events_stream_windows,
     "events_stateful_totals": q_events_stateful_totals,
@@ -1011,6 +1033,18 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
+        "shipping_priority": """
+SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS odate,
+       o_orderpriority,
+       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10""",
         "events_windows": """
 SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start,
        event_type, COUNT(*) AS n_events, SUM(value) AS total_value
