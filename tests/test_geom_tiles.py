@@ -106,3 +106,25 @@ def test_multilinestring_roundtrip(spark):
     v = decode_tile_vertices(tiles).toPandas()
     assert list(v["geojson_type"].unique()) == ["MultiLineString"]
     assert sorted(v.groupby("ring_idx").size().tolist()) == [2, 3]
+
+
+def test_decode_quarantine_corrupt_tiles(spark):
+    """quarantine=True: corrupt tile bytes become error rows instead of
+    failing the stage (the reference's per-tile panic/recover,
+    read_tile.go:79-84, at distributed scale)."""
+    import pandas as pd
+
+    from vector_tile_go_spark.codec.encode import encode_layer
+    from vector_tile_go_spark.sparkops.udfs import decode_tiles
+    good = encode_layer([{"type": "Point", "coordinates": [1.0, 1.0],
+                          "properties": {"k": "v"}, "id": 7}], 0, 0, 0, "t")
+    # frame claims 5 body bytes but the buffer ends mid-varint -> IndexError
+    corrupt = b"\x1a\x05\x0a\x84"
+    pdf = pd.DataFrame({"z": [0, 0], "x": [0, 1], "y": [0, 0],
+                        "tile_pbf": [good, corrupt]})
+    tiles = spark.createDataFrame(pdf)
+    out = decode_tiles(tiles, mode="props", quarantine=True).toPandas()
+    ok = out[out["error"].isna()]
+    bad = out[out["error"].notna()]
+    assert len(ok) == 1 and ok.iloc[0]["feature_id"] == 7
+    assert len(bad) == 1 and bad.iloc[0]["x"] == 1

@@ -426,6 +426,51 @@ def _assemble_polygons(feat: DecodedFeature):
     feat.geojson_type = "Polygon" if len(groups) == 1 else "MultiPolygon"
 
 
+def bulk_point_layer(lf: LayerFrame):
+    """Vectorized decode of a UNIFORM point layer: every feature shaped
+    [frame, len, 0x08, id, 0x12, tlen, 2P tag ints, 0x18, 1, 0x22, glen,
+    MoveTo(1), zzx, zzy] — the layout our encoder emits and the MVT spec's
+    recommended field order. The whole features region is then a pure varint
+    stream (no strings inside feature bodies), so ONE boundary scan + ONE
+    add.reduceat decodes every field of every feature; structure checks are
+    vectorized column tests on the reshaped value matrix.
+
+    Returns (ids, key_idx: (n,P), val_idx: (n,P), px, py) int64 arrays, or
+    None when the layer doesn't conform (caller falls back to the
+    per-feature walk). ~20x faster than decode_feature per feature."""
+    spans = lf.feature_frame_spans
+    m = len(spans)
+    if m == 0 or len(lf.feature_spans) != m:
+        return None
+    first, last = spans[0][0], spans[-1][1]
+    for i in range(m - 1):  # frames must be adjacent (contiguous region)
+        if spans[i][1] != spans[i + 1][0]:
+            return None
+    raw = np.frombuffer(lf.buf, np.uint8, last - first, first)
+    vals = varint_decode_all(raw)
+    if len(vals) % m:
+        return None
+    per = len(vals) // m
+    p2 = per - 13  # 2 ints per property
+    if p2 < 0 or p2 % 2:
+        return None
+    n_props = p2 // 2
+    V = vals.reshape(m, per).astype(np.int64)
+    t = 6 + p2  # index after tag ints
+    ok = ((V[:, 0] == 0x12) & (V[:, 2] == 0x08) & (V[:, 4] == 0x12)
+          & (V[:, t] == 0x18) & (V[:, t + 1] == 1) & (V[:, t + 2] == 0x22)
+          & (V[:, t + 4] == 9))
+    if not bool(ok.all()):
+        return None
+    ids = V[:, 3]
+    key_idx = V[:, 6:6 + p2:2]
+    val_idx = V[:, 7:7 + p2:2]
+    zz = V[:, t + 5:t + 7]
+    px = np.where(zz[:, 0] % 2 == 1, -((zz[:, 0] + 1) // 2), zz[:, 0] // 2)
+    py = np.where(zz[:, 1] % 2 == 1, -((zz[:, 1] + 1) // 2), zz[:, 1] // 2)
+    return ids, key_idx, val_idx, px, py, n_props
+
+
 def decode_tile(buf: bytes, z: int = 0, x: int = 0, y: int = 0,
                 mode: str = "lnglat", layers: list[str] | None = None):
     """ReadTile (read_tile.go:77-359): full decode of every feature of every

@@ -160,7 +160,8 @@ def encode_point_tiles_salted(entities: DataFrame, layer_name: str = "geo",
 
 def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
                  layers: list[str] | None = None,
-                 prop_cols: tuple[str, ...] | None = None) -> DataFrame:
+                 prop_cols: tuple[str, ...] | None = None,
+                 quarantine: bool = False) -> DataFrame:
     """tiles(z, x, y, tile_pbf) -> feature rows. Point-centric projection:
     emits (lng, lat) of the first coordinate for point features; full
     geometry consumers use decode_tile_vertices.
@@ -168,7 +169,11 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
     ``prop_cols``: project named properties to flat string columns instead
     of the map<string,string> — the reference's lazy property projection
     (README.md:34) pushed into the UDF; flat columns skip the Arrow/JVM map
-    builders, which dominate wide decodes."""
+    builders, which dominate wide decodes.
+
+    ``quarantine``: corrupt tiles become rows with the ``error`` column set
+    (null feature fields) instead of failing the stage — the distributed
+    form of the reference's per-tile panic/recover (read_tile.go:79-84)."""
     want_geom = mode != "props"
     # decode to tile ints; inverse-project the whole Arrow batch in ONE
     # vectorized call (the per-feature Project of the reference,
@@ -177,20 +182,98 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .. import tilemath as tm
-        from ..codec.decode import parse_tile, decode_feature
+        from ..codec.decode import bulk_point_layer, decode_feature, parse_tile
         for pdf in batches:
             cz, cx, cy, clay, cid, cgt, cgj = [], [], [], [], [], [], []
-            cpx, cpy, cext, cprops = [], [], [], []
+            cpx, cpy, cext, cprops, cerr = [], [], [], [], []
             pcols = {c: [] for c in (prop_cols or ())}
+
+            def emit_error(z, x, y, msg):
+                # corrupt-tile quarantine (SURVEY.md §4: the reference's
+                # panic/recover per-tile isolation, read_tile.go:79-84,
+                # becomes an error row instead of a failed job — at 10^12
+                # docs one bad tile must not kill the stage)
+                cz.append(z)
+                cx.append(x)
+                cy.append(y)
+                clay.append(None)
+                cid.append(None)
+                cgt.append(None)
+                cgj.append(None)
+                cpx.append(np.nan)
+                cpy.append(np.nan)
+                cext.append(4096)
+                cerr.append(msg[:200])
+                if prop_cols is None:
+                    cprops.append({})
+                else:
+                    for c in prop_cols:
+                        pcols[c].append(None)
+
             for z, x, y, buf in zip(pdf["z"], pdf["x"], pdf["y"], pdf["tile_pbf"]):
                 if buf is None:
                     continue
                 z, x, y = int(z), int(x), int(y)
-                for lf in parse_tile(bytes(buf)):
+                try:
+                    frames = parse_tile(bytes(buf))
+                except Exception as e:  # noqa: BLE001 — quarantine, not crash
+                    if quarantine:
+                        emit_error(z, x, y, f"parse: {e!r}")
+                        continue
+                    raise
+                for lf in frames:
                     if layers is not None and lf.name not in layers:
                         continue
+                    bulk = bulk_point_layer(lf)
+                    if bulk is not None:
+                        ids, key_idx, val_idx, px, py, n_props = bulk
+                        n = len(ids)
+                        # uniform key layout + in-range dictionary indices
+                        # required for the vectorized join (our encoder
+                        # always satisfies both; foreign tiles fall back)
+                        if (n and bool((key_idx == key_idx[0]).all())
+                                and bool((key_idx[0] < len(lf.keys)).all())
+                                and bool((val_idx < len(lf.values)).all())):
+                            cz.extend([z] * n)
+                            cx.extend([x] * n)
+                            cy.extend([y] * n)
+                            clay.extend([lf.name] * n)
+                            cid.extend([i if i else None
+                                        for i in ids.tolist()])
+                            cgt.extend([1] * n)
+                            cgj.extend(["Point"] * n)
+                            cerr.extend([None] * n)
+                            cpx.extend(px.tolist())
+                            cpy.extend(py.tolist())
+                            cext.extend([lf.extent] * n)
+                            vals_arr = np.asarray(lf.values, dtype=object)
+                            names0 = [lf.keys[k] if k < len(lf.keys) else ""
+                                      for k in key_idx[0].tolist()]
+                            if prop_cols is None:
+                                colvals = [vals_arr[val_idx[:, j]]
+                                           for j in range(n_props)]
+                                for r in range(n):
+                                    cprops.append(
+                                        {names0[j]: str(colvals[j][r])
+                                         for j in range(n_props)})
+                            else:
+                                for c in prop_cols:
+                                    if c in names0:
+                                        j = names0.index(c)
+                                        col = vals_arr[val_idx[:, j]]
+                                        pcols[c].extend(
+                                            str(v) for v in col.tolist())
+                                    else:
+                                        pcols[c].extend([None] * n)
+                            continue
                     for span in lf.feature_spans:
-                        f = decode_feature(lf, span, mode=inner_mode)
+                        try:
+                            f = decode_feature(lf, span, mode=inner_mode)
+                        except Exception as e:  # noqa: BLE001
+                            if quarantine:
+                                emit_error(z, x, y, f"feature: {e!r}")
+                                continue
+                            raise
                         if f is None:
                             continue
                         cz.append(z)
@@ -200,6 +283,7 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
                         cid.append(f.feature_id)
                         cgt.append(f.geom_type)
                         cgj.append(f.geojson_type)
+                        cerr.append(None)
                         if want_geom and len(f.xs):
                             cpx.append(f.xs[0])
                             cpy.append(f.ys[0])
@@ -215,6 +299,9 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
                             for c in prop_cols:
                                 v = p.get(c)
                                 pcols[c].append(None if v is None else str(v))
+            if not cz:
+                continue  # empty batch: yielding nothing beats fighting
+                # pandas' float64 default dtype for empty object columns
             if mode == "lnglat" and cz:
                 lngs, lats = tm.project_tile_to_lnglat(
                     np.asarray(cpx), np.asarray(cpy),
@@ -232,17 +319,21 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
             else:
                 for c in prop_cols:
                     data[c] = pcols[c]
+            if quarantine:
+                data["error"] = cerr
             yield pd.DataFrame(data)
 
     if prop_cols is None:
-        return tiles.mapInPandas(decode_batch, FEATURE_SCHEMA)
-    if prop_cols:
+        schema = FEATURE_SCHEMA
+    elif prop_cols:
         schema = FEATURE_SCHEMA.replace(
             "properties map<string,string>",
             ", ".join(f"{c} string" for c in prop_cols))
     else:  # properties projected away entirely
         schema = FEATURE_SCHEMA.replace(
             ", properties map<string,string>", "")
+    if quarantine:
+        schema += ", error string"
     return tiles.mapInPandas(decode_batch, schema)
 
 
