@@ -153,7 +153,17 @@ def parse_layer(buf: bytes, pos: int, end: int) -> LayerFrame:
             pos += n
         elif fieldno == 4 and wt == 2:
             n, pos = read_varint(buf, pos)
-            values.append(read_value(buf, pos, pos + n))
+            # inline fast path for the dominant single-string Value message
+            # (read_value's generic switch costs ~3x on dictionary-heavy
+            # tiles where values outnumber features' other fields)
+            if n >= 2 and buf[pos] == 0x0A:
+                slen, p2 = read_varint(buf, pos + 1)
+                if p2 + slen == pos + n:
+                    values.append(buf[p2:p2 + slen].decode("utf-8", "replace"))
+                else:
+                    values.append(read_value(buf, pos, pos + n))
+            else:
+                values.append(read_value(buf, pos, pos + n))
             dict_spans.append((tag_start, pos + n))
             pos += n
         elif fieldno == 5 and wt == 0:

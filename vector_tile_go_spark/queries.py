@@ -111,6 +111,47 @@ def q_reduce_points(spark, sf_dir):
                  F.count("*").alias("n_points")))
 
 
+def q_overzoom_pyramid(spark, sf_dir):
+    """Overzoom pyramid build (the reference's zoom-reduction purpose,
+    feature_reduce.go:13-39): decode the z12 tile set, re-assign features to
+    z6 parents, zoom-reduce points by z14 subcell occupancy (default_steps=8)
+    with a deterministic representative per subcell, re-encode parent
+    layers, and header-scan them. All on the quantized integer grid, so the
+    oracle recomputes subcells exactly from the quantization SQL."""
+    import math
+    from .sparkops.udfs import (decode_tile_vertices, encode_point_tiles,
+                                tile_stats)
+    DZ, STEPS = 6, 8
+    sub_shift = 24 - (ZOOM - DZ + STEPS)  # z12*4096 = z24 grid -> z14 cells
+    e = entities_df(spark, sf_dir)
+    tiles = encode_point_tiles(e, layer_name="geo", prop_cols=("mention_idx",))
+    v = decode_tile_vertices(tiles)
+    gx = (F.col("x") * 4096 + F.col("ix")).cast("long")
+    gy = (F.col("y") * 4096 + F.col("iy")).cast("long")
+    d = (v.withColumn("px", F.shiftrightunsigned("x", DZ))
+         .withColumn("py", F.shiftrightunsigned("y", DZ))
+         .withColumn("sx", F.shiftrightunsigned(gx, sub_shift))
+         .withColumn("sy", F.shiftrightunsigned(gy, sub_shift)))
+    reps = (d.groupBy("px", "py", "sx", "sy")
+            .agg(F.min(F.struct("ix", "iy", "x", "y")).alias("r")))
+    size = 4096.0 * float(2 ** ZOOM)
+    pxi = F.col("r.ix") + F.col("r.x") * 4096.0
+    pyi = F.col("r.iy") + F.col("r.y") * 4096.0
+    pi = math.pi
+    lng = pxi * 360.0 / size - 180.0
+    lat = (F.lit(360.0 / pi) * F.atan(
+        F.exp((F.lit(180.0) - pyi * 360.0 / size) * pi / 180.0)) - 90.0)
+    ents2 = reps.select(
+        F.lit(ZOOM - DZ).alias("z"), F.col("px").alias("x"),
+        F.col("py").alias("y"), lng.alias("lng"), lat.alias("lat"),
+        (F.shiftleft(F.col("sx").cast("long"), 20)
+         + F.col("sy") + 1).alias("cell_id"))
+    parents = encode_point_tiles(ents2, layer_name="geo_z6", prop_cols=(),
+                                 id_col="cell_id")
+    s = tile_stats(parents)
+    return s.select("z", "x", "y", "n_features")
+
+
 def q_tile_dict_stats(spark, sf_dir):
     """Encode tiles, then header-only lazy scan (NewTile, read_tile.go:20-44):
     per-tile feature count and key/value dictionary sizes. Verifies the
@@ -743,6 +784,7 @@ QUERIES = {
     "tile_cube": q_tile_cube,
     "reduce_points": q_reduce_points,
     "tile_dict_stats": q_tile_dict_stats,
+    "overzoom_pyramid": q_overzoom_pyramid,
     "roundtrip_counts": q_roundtrip_counts,
     "roundtrip_salted": q_roundtrip_salted,
     "roundtrip_geometry": q_roundtrip_geometry,
@@ -1001,6 +1043,7 @@ FROM documents""",
             f"SELECT z, x, y, COUNT(DISTINCT ({tx20}, {ty20})) AS n_kept, "
             "COUNT(*) AS n_points FROM tiled GROUP BY z, x, y",
             zoom=ZOOM),
+        "overzoom_pyramid": _overzoom_oracle(),
         "tile_dict_stats": _mentions_oracle(
             # url <-> doc_id is a bijection, so distinct url values == distinct
             # doc_ids; value dictionary = urls + mention_idx strings
@@ -1189,6 +1232,26 @@ tiled AS (
 SELECT n_nationkey AS nk, CAST(g.j AS INT) AS j,
        {ix} AS ix, {iy} AS iy, 'MultiPoint' AS gtype
 FROM tiled, (SELECT unnest(range(0, 3)) AS j) g"""
+
+
+def _overzoom_oracle() -> str:
+    """Exact-grid oracle for the z6 pyramid: quantize each mention into its
+    z12 tile (Cursor.SinglePoint + ExtentBool clamp), derive the z14 subcell
+    by integer shift on the global z24 grid, count distinct subcells per z6
+    parent."""
+    tx, ty = geo.sql_tile_xy(ZOOM)
+    qix, qiy = geo.sql_tile_int_xy(ZOOM, "x", "y", "lng", "lat")
+    return _mentions_oracle(f"""
+, q AS (SELECT x, y,
+        LEAST(GREATEST({qix}, 0), 4096) AS ix,
+        LEAST(GREATEST({qiy}, 0), 4096) AS iy
+        FROM tiled)
+, g AS (SELECT x // 64 AS px, y // 64 AS py,
+        (x * 4096 + ix) // 1024 AS sx, (y * 4096 + iy) // 1024 AS sy
+        FROM q)
+SELECT 6 AS z, px AS x, py AS y,
+       COUNT(DISTINCT (sx, sy)) AS n_features
+FROM g GROUP BY px, py""", zoom=ZOOM)
 
 
 def _sql_round_scale(expr: str, dim: int) -> str:
