@@ -300,6 +300,20 @@ def q_events_stateful_totals(spark, sf_dir):
                  F.max_by("cum_value", "cum_events").alias("total_value")))
 
 
+def q_events_sessions(spark, sf_dir):
+    """Session windows (SURVEY.md §2.9): per-user sessions with a 30-minute
+    inactivity gap via F.session_window; the oracle rebuilds sessions with
+    lag-based island detection."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                       "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.unix_timestamp(F.col("w.start")).alias("session_start"),
+                    F.unix_timestamp(F.col("w.end")).alias("session_end"),
+                    "n_events"))
+
+
 def q_hot_domains(spark, sf_dir):
     """Skew surface: mentions per domain — the hot domain dominates; the
     engine handles it via salted encode (sparkops/udfs.py) and AQE."""
@@ -794,6 +808,7 @@ QUERIES = {
     "events_windows": q_events_windows,
     "events_stream_windows": q_events_stream_windows,
     "events_stateful_totals": q_events_stateful_totals,
+    "events_sessions": q_events_sessions,
     "hot_domains": q_hot_domains,
     "pip_join": q_pip_join,
     "knn": q_knn,
@@ -1092,6 +1107,18 @@ LIMIT 10""",
 SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start,
        event_type, COUNT(*) AS n_events, SUM(value) AS total_value
 FROM events GROUP BY 1, 2""",
+        "events_sessions": """
+WITH o AS (SELECT user_id, epoch(ts) AS e,
+           LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pe
+           FROM events),
+i AS (SELECT user_id, e,
+      CASE WHEN pe IS NULL OR e - pe >= 1800 THEN 1 ELSE 0 END AS brk FROM o),
+s AS (SELECT user_id, e, SUM(brk) OVER (PARTITION BY user_id ORDER BY e
+      ROWS UNBOUNDED PRECEDING) AS sid FROM i)
+SELECT user_id, CAST(FLOOR(MIN(e)) AS BIGINT) AS session_start,
+       CAST(FLOOR(MAX(e)) + 1800 AS BIGINT) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid""",
         "events_stateful_totals": """
 SELECT event_type, COUNT(*) AS n_events, SUM(value) AS total_value
 FROM events GROUP BY event_type""",
