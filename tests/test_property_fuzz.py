@@ -116,3 +116,24 @@ def test_typed_properties_roundtrip(props):
             assert g == v  # float64 bits survive exactly
         else:
             assert g == v
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(coord, st.integers(1, 10**6),
+                          st.text(max_size=10)), min_size=1, max_size=10))
+def test_geobuf_transcode_roundtrip(feats):
+    """geobuf feature stream -> MVT transcode -> decode preserves ids and
+    properties; geometry goes through 1e7 quantization + the MVT grid."""
+    from vector_tile_go_spark.codec.geobuf import (encode_geobuf_feature,
+                                                   transcode_geobuf_layer)
+    from vector_tile_go_spark.codec.wire import encode_varint
+    blob = bytearray()
+    for (c, i, p) in feats:
+        m = encode_geobuf_feature("Point", list(c), {"k": p}, i)
+        blob += encode_varint(len(m)) + m
+    buf = transcode_geobuf_layer(bytes(blob), 2, 1, 1, "t")
+    out = decode_tile(buf, 2, 1, 1, mode="props")
+    assert len(out) == len(feats)
+    for (lname, f), (c, i, p) in zip(out, feats):
+        assert f.feature_id == i
+        assert f.properties == {"k": p}
