@@ -376,7 +376,9 @@ def decode_feature(layer: LayerFrame, span, mode: str = "lnglat",
             if b & 0x80:
                 shift += 7
             else:
-                vals.append(v)
+                # mask to 32 bits so corrupt oversized varints wrap exactly
+                # like the >=256-byte path's uint64->uint32 array cast
+                vals.append(v & 0xFFFFFFFF)
                 v = shift = 0
         cmds = np.asarray(vals, dtype=np.uint32)
     else:
@@ -465,7 +467,13 @@ def bulk_point_layer(lf: LayerFrame):
     if p2 < 0 or p2 % 2:
         return None
     n_props = p2 // 2
-    V = vals.reshape(m, per).astype(np.int64)
+    Vu = vals.reshape(m, per)
+    # feature ids >= 2^63 are legal on the wire (uint64); the int64 cast
+    # below would wrap them negative while decode_feature keeps them
+    # positive — fall back to the walk for such layers
+    if bool((Vu[:, 3] >= np.uint64(1) << np.uint64(63)).any()):
+        return None
+    V = Vu.astype(np.int64)
     t = 6 + p2  # index after tag ints
     ok = ((V[:, 0] == 0x12) & (V[:, 2] == 0x08) & (V[:, 4] == 0x12)
           & (V[:, t] == 0x18) & (V[:, t + 1] == 1) & (V[:, t + 2] == 0x22)

@@ -34,13 +34,17 @@ def composite(*tile_dfs: DataFrame, layer_order_col: str = "layer") -> DataFrame
     u = tile_dfs[0]
     for t in tile_dfs[1:]:
         u = u.unionByName(t, allowMissingColumns=True)
-    concat = F.udf(lambda bufs: b"".join(bufs), "binary")
+    # JVM-side binary fold (F.aggregate + F.concat) — no Python round-trip
     return (u.groupBy("z", "x", "y")
             .agg(F.sort_array(F.collect_list(F.struct(layer_order_col, "tile_pbf")))
                  .alias("ls"),
                  F.sum("n_features").cast("int").alias("n_features"),
                  F.count("*").alias("n_layers"))
-            .select("z", "x", "y", concat(F.col("ls.tile_pbf")).alias("tile_pbf"),
+            .select("z", "x", "y",
+                    F.aggregate(F.col("ls.tile_pbf"),
+                                F.lit(b"").cast("binary"),
+                                lambda acc, b: F.concat(acc, b))
+                    .alias("tile_pbf"),
                     "n_features", F.col("n_layers").cast("int").alias("n_layers")))
 
 

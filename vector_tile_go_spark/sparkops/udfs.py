@@ -149,13 +149,17 @@ def encode_point_tiles_salted(entities: DataFrame, layer_name: str = "geo",
         run, TILE_SCHEMA + ", salt int").drop("layer")
     # per-tile binary concat of the (few) partials, ordered by salt for
     # determinism; this is the O(1) compositing union — no re-encode.
-    concat = F.udf(lambda bufs: b"".join(bufs), "binary")
+    # F.aggregate + F.concat stays JVM-side (whole-stage codegen), no
+    # Python round-trip for the merge.
     return (partials
             .groupBy("z", "x", "y")
             .agg(F.sort_array(F.collect_list(F.struct("salt", "tile_pbf"))).alias("ps"),
                  F.sum("n_features").cast("int").alias("n_features"))
             .select("z", "x", "y", F.lit(layer_name).alias("layer"),
-                    concat(F.col("ps.tile_pbf")).alias("tile_pbf"), "n_features"))
+                    F.aggregate(F.col("ps.tile_pbf"),
+                                F.lit(b"").cast("binary"),
+                                lambda acc, b: F.concat(acc, b))
+                    .alias("tile_pbf"), "n_features"))
 
 
 def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
@@ -243,9 +247,16 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
                             cgt.extend([1] * n)
                             cgj.extend(["Point"] * n)
                             cerr.extend([None] * n)
-                            cpx.extend(px.tolist())
-                            cpy.extend(py.tolist())
-                            cext.extend([lf.extent] * n)
+                            if want_geom:
+                                cpx.extend(px.tolist())
+                                cpy.extend(py.tolist())
+                                cext.extend([lf.extent] * n)
+                            else:
+                                # match the per-feature walk: props mode
+                                # never exposes coords (lng/lat = NaN)
+                                cpx.extend([np.nan] * n)
+                                cpy.extend([np.nan] * n)
+                                cext.extend([4096] * n)
                             vals_arr = np.asarray(lf.values, dtype=object)
                             names0 = [lf.keys[k] if k < len(lf.keys) else ""
                                       for k in key_idx[0].tolist()]
