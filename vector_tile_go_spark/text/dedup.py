@@ -110,13 +110,19 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 def minhash_signature_table(docs: DataFrame, n: int = 3,
                             text_col: str = "text",
-                            key_col: str = "doc_id") -> DataFrame:
+                            key_col: str = "doc_id",
+                            shingles: DataFrame | None = None) -> DataFrame:
     """Wide signature table (doc_id, mh0..mh15): the i-th min-hash as a
     column, computed with ONE shuffle — 16 min() aggregates over the affine
     family h_i = (a_i*h0 + b_i) mod p (decimal(38,0) keeps the product
     exact; the oracle uses HUGEINT). No row explosion: the narrow
-    (doc, seed, minhash) layout would shuffle 16x the rows."""
-    sh = word_shingles(docs, n, text_col, key_col)
+    (doc, seed, minhash) layout would shuffle 16x the rows.
+
+    ``shingles``: pre-computed (cached) word_shingles output — lets callers
+    share one shingle scan between the signature chain and an exact-verify
+    pass instead of shingling the corpus twice."""
+    sh = shingles if shingles is not None else word_shingles(
+        docs, n, text_col, key_col)
     h0 = _h60(F.col("shingle"), F.lit(0)).cast("decimal(38,0)")
     aggs = [F.min(((F.lit(MINHASH_A[i]).cast("decimal(38,0)") * h0
                     + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).cast("long"))
@@ -137,8 +143,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                       text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """MinHash-LSH near-dup join: band-bucket candidates, exact-Jaccard
     verified. Returns (da, db, n_common, n_union) like ngram_jaccard_pairs
-    — but candidates come from the LSH buckets, not an all-pairs join."""
-    w = minhash_signature_table(docs, n, text_col, key_col)
+    — but candidates come from the LSH buckets, not an all-pairs join.
+
+    One shingle scan feeds BOTH the signature chain and the exact verify
+    (cached (doc_id, shingle) table) — shingling is the dominant map-side
+    cost at corpus scale and must not run twice."""
+    sh = word_shingles(docs, n, text_col, key_col).cache()
+    w = minhash_signature_table(docs, n, text_col, key_col, shingles=sh)
     # band signature: minhashes concatenated in seed order, derived from the
     # wide table without a second shuffle
     band_cols = [
@@ -156,8 +167,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     cand = (la.join(lb, ["band", "band_sig"])
             .filter(F.col("da") < F.col("db"))
             .select("da", "db").distinct())
-    # exact verify of the candidate set
-    sh = word_shingles(docs, n, text_col, key_col).cache()
+    # exact verify of the candidate set — reuses the cached shingle table
     sizes = sh.groupBy(key_col).agg(F.count("*").alias("sz"))
     a = sh.toDF("da", "shingle")
     b = sh.toDF("db", "shingle")
@@ -172,12 +182,15 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            key_col: str = "doc_id") -> DataFrame:
-    """48-bit SimHash over word unigrams: bit b set iff the sum of
-    (+1 if bit b of h(token) else -1) over distinct tokens is positive.
+            key_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """``bits``-bit SimHash over word unigrams (bits <= 60, the width of the
+    md5-derived h60): bit b set iff the sum of (+1 if bit b of h(token) else
+    -1) over distinct tokens is positive.
 
-    One aggregation with 48 vote columns — the naive (key, bit) layout
-    explodes rows 48x and needs two more shuffles for identical math."""
+    One aggregation with ``bits`` vote columns — the naive (key, bit) layout
+    explodes rows bits-x and needs two more shuffles for identical math."""
+    if not 1 <= bits <= 60:
+        raise ValueError("simhash bits must be in [1, 60]")
     toks = (docs.select(key_col, F.explode(F.split(F.col(text_col), " "))
                         .alias("tok"))
             .filter(F.col("tok") != "").distinct()
@@ -185,26 +198,54 @@ def simhash(docs: DataFrame, text_col: str = "text",
     aggs = [F.sum(F.expr(
         f"CASE WHEN (shiftrightunsigned(h, {b}) & 1) = 1 "
         "THEN 1 ELSE -1 END")).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)]
+        for b in range(bits)]
     w = toks.groupBy(key_col).agg(*aggs)
     bitvals = [F.when(F.col(f"v{b}") > 0,
                       F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-               for b in range(SIMHASH_BITS)]
+               for b in range(bits)]
     total = bitvals[0]
     for bv in bitvals[1:]:
         total = total + bv
     return w.select(key_col, total.alias("simhash"))
 
 
+def simhash_chunk_bits(n_docs: int, max_hamming: int = 3,
+                       target_bucket: int = 1024) -> int:
+    """Pick the SimHash width for a corpus so candidate buckets stay small:
+    chunk width w = ceil(bits / (max_hamming+1)) buckets 2^w docs into
+    ~n_docs / 2^w per bucket; the within-bucket join is quadratic, so w must
+    grow with the corpus. Returns the total signature ``bits`` (capped at 60,
+    the h60 width) such that the expected bucket holds <= target_bucket docs.
+
+    Web scale example: n_docs = 10^12, max_hamming = 3 -> w = 30 needed,
+    bits = 120 > 60 cap, so two independent 60-bit tables (see
+    ``simhash_pairs``'s n_tables) supply the remaining chunks."""
+    import math
+    w = max(1, math.ceil(math.log2(max(2, n_docs) / target_bucket)))
+    return min(60, w * (max_hamming + 1))
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", key_col: str = "doc_id",
+                  bits: int = SIMHASH_BITS) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates via
-    exact match on one of 4 x 12-bit chunks (pigeonhole: hamming <= 3 implies
-    at least one chunk equal), verified with bit_count(xor)."""
-    sh = simhash(docs, text_col, key_col).cache()
-    chunks = sh.withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(3)))) \
+    exact match on one of (max_hamming+1) chunks of ceil(bits/(h+1)) bits
+    (pigeonhole: hamming <= h implies at least one chunk equal), verified
+    with bit_count(xor). Defaults (48 bits, h=3) give 4 x 12-bit chunks.
+
+    Scale note: bucket count per chunk is 2^width; size ``bits`` with
+    ``simhash_chunk_bits`` so the expected bucket stays bounded as the
+    corpus grows — at 12-bit chunks and 10^12 docs each bucket would hold
+    ~10^8 docs and the within-bucket join would be quadratic."""
+    n_chunks = max_hamming + 1
+    width = -(-bits // n_chunks)  # ceil: last chunk may be narrower, still
+    # a valid pigeonhole cover of the bit range
+    mask = (1 << width) - 1
+    sh = simhash(docs, text_col, key_col, bits=bits).cache()
+    chunks = (sh.withColumn("chunk", F.explode(
+        F.sequence(F.lit(0), F.lit(n_chunks - 1))))
         .withColumn("ck", F.expr(
-            "shiftrightunsigned(simhash, chunk * 12) & 4095"))
+            f"shiftrightunsigned(simhash, chunk * {width}) & {mask}")))
     ca = chunks.toDF("da", "ha", "chunk", "ck")
     cb = chunks.toDF("db", "hb", "chunk", "ck")
     cand = (ca.join(cb, ["chunk", "ck"])
