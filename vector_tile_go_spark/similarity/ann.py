@@ -187,26 +187,57 @@ def ivf_topk(embeddings: DataFrame, queries: pd.DataFrame, k: int = 10,
 
 
 def cosine_pairs(embeddings: DataFrame, threshold: float = 0.35,
-                 vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
+                 vec_col: str = "embedding", key_col: str = "vec_id",
+                 n_blocks: int = 8) -> DataFrame:
     """Embedding near-dup pairs: (va, vb) with cosine >= threshold, va < vb.
-    Exact plan: normalized matrix per batch vs broadcast full matrix —
-    O(n^2) flops but one pass, no shuffle; the LSH plan above is the
-    scale path when n makes that infeasible."""
-    pdf_all = embeddings.select(key_col, vec_col).toPandas()
-    m = _normalize(np.array(list(pdf_all[vec_col]), dtype=np.float64))
-    ids = pdf_all[key_col].to_numpy()
-    spark = embeddings.sparkSession
-    bm = spark.sparkContext.broadcast((m, ids))
+
+    Exact DISTRIBUTED block-matrix plan — no driver-side collect anywhere:
+    vectors are hashed into ``n_blocks`` blocks, each block packed into one
+    row (groupBy + collect_list), and every block pair (bi <= bj) becomes
+    one task that runs a single BLAS matmul between the two blocks. Every
+    unordered pair of vectors lands in exactly one block-pair task, so the
+    output is exact with no dedup pass.
+
+    Cost model at scale: communication O(n * n_blocks) (each block feeds
+    n_blocks tasks), flops O(n^2 * d / tasks) spread over
+    n_blocks*(n_blocks+1)/2 tasks, per-task memory = 2 blocks. Pick
+    n_blocks ~ sqrt(n * d * 8 / block_budget_bytes) so a block fits
+    comfortably in executor memory (e.g. 10^9 x 128-dim float64 vectors
+    with a 256 MB block budget -> n_blocks ~ 2000, ~2M tasks of ~1 GFLOP).
+    For corpora where even that flop count is infeasible, lsh_topk's
+    bucketing is the approximate path."""
+    blocked = embeddings.select(key_col, vec_col).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_blocks)).cast("int"))
+    packed = blocked.groupBy("blk").agg(
+        F.collect_list(F.struct(F.col(key_col).alias("id"),
+                                F.col(vec_col).alias("v"))).alias("items"))
+    L = packed.select(F.col("blk").alias("bi"), F.col("items").alias("ia"))
+    R = packed.select(F.col("blk").alias("bj"), F.col("items").alias("ib"))
+    bp = (L.join(R, F.col("bi") <= F.col("bj"))
+          .repartition(max(1, n_blocks * (n_blocks + 1) // 2), "bi", "bj"))
+
+    def unpack(items) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.fromiter((it["id"] for it in items), dtype=np.int64,
+                          count=len(items))
+        m = _normalize(np.array([it["v"] for it in items], dtype=np.float64))
+        return ids, m
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        M, I = bm.value
         for pdf in batches:
-            mb = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
-            ib = pdf[key_col].to_numpy()
-            sims = mb @ M.T
-            r, c = np.where(sims >= threshold)
-            keep = ib[r] < I[c]
-            yield pd.DataFrame({"va": ib[r][keep], "vb": I[c][keep]})
+            for bi, bj, ia, ib in zip(pdf["bi"], pdf["bj"],
+                                      pdf["ia"], pdf["ib"]):
+                Ia, Ma = unpack(ia)
+                if bi == bj:
+                    sims = Ma @ Ma.T
+                    r, c = np.where(sims >= threshold)
+                    keep = Ia[r] < Ia[c]  # upper triangle: each pair once
+                    va, vb = Ia[r][keep], Ia[c][keep]
+                else:
+                    Ib, Mb = unpack(ib)
+                    sims = Ma @ Mb.T
+                    r, c = np.where(sims >= threshold)
+                    va = np.minimum(Ia[r], Ib[c])
+                    vb = np.maximum(Ia[r], Ib[c])
+                yield pd.DataFrame({"va": va, "vb": vb})
 
-    return embeddings.select(key_col, vec_col).mapInPandas(
-        pairs, "va bigint, vb bigint")
+    return bp.mapInPandas(pairs, "va bigint, vb bigint")
