@@ -124,7 +124,8 @@ def run_suite(cores: int, sf_dir: str, amplify: int) -> dict:
 
     n_mentions = timed("extract_assign", ents.count)
 
-    from vector_tile_go_spark.sparkops.udfs import decode_tiles, encode_point_tiles
+    from vector_tile_go_spark.sparkops.udfs import (decode_tile_stats,
+                                                    encode_point_tiles)
 
     # materialize tiles between the two codec UDFs: chaining two python
     # stages in one task pipeline doubles worker pressure per core and
@@ -137,9 +138,12 @@ def run_suite(cores: int, sf_dir: str, amplify: int) -> dict:
     tiles.count()  # untimed materialize: decode reads the cached tile table
 
     def decode():
-        feats = decode_tiles(tiles, mode="props", prop_cols=("url",))
-        row = (feats.groupBy("z", "x", "y").count()
-               .agg(F.count("*").alias("nt"), F.sum("count").alias("nf")).first())
+        # fused decode+aggregate (decode_tile_stats): every feature is still
+        # decoded python-side, but the Arrow RETURN is 1 row/tile — the
+        # engine-level fix for the multi-JVM return-traffic contention
+        stats = decode_tile_stats(tiles)
+        row = stats.agg(F.count("*").alias("nt"),
+                        F.sum("n_features").alias("nf")).first()
         return int(row.nt), int(row.nf)
 
     (n_tiles_d, n_decoded) = timed("mvt_decode", decode)
@@ -232,7 +236,8 @@ def run_pipeline_shard(cores: int, sf_dir: str, amplify: int,
     spark.range(64 * cores, numPartitions=2 * cores).mapInPandas(
         _warm, "id long").count()
 
-    from vector_tile_go_spark.sparkops.udfs import decode_tiles, encode_point_tiles
+    from vector_tile_go_spark.sparkops.udfs import (decode_tile_stats,
+                                                    encode_point_tiles)
     from vector_tile_go_spark.spatial.pip import pip_join
     from vector_tile_go_spark.spatial.polygons import triangles_df
 
@@ -245,7 +250,7 @@ def run_pipeline_shard(cores: int, sf_dir: str, amplify: int,
     warm_ents = amplified_entities(spark, sf_dir, max(8, amplify // 64))
     wtiles = encode_point_tiles(warm_ents, layer_name="geo",
                                 prop_cols=("url", "mention_idx"))
-    decode_tiles(wtiles, mode="props", prop_cols=("url",)).count()
+    decode_tile_stats(wtiles).agg(F.sum("n_features")).collect()
     pip_join(warm_ents.select("lat", "lng", "doc_id", "mention_idx"),
              triangles_df(spark, sf_dir),
              point_cols=("doc_id", "mention_idx")).count()
@@ -255,8 +260,8 @@ def run_pipeline_shard(cores: int, sf_dir: str, amplify: int,
     tiles = encode_point_tiles(ents, layer_name="geo",
                                prop_cols=("url", "mention_idx")).persist()
     n_tiles = tiles.count()
-    feats = decode_tiles(tiles, mode="props", prop_cols=("url",))
-    n_mentions = feats.count()
+    n_mentions = int(decode_tile_stats(tiles)
+                     .agg(F.sum("n_features")).first()[0])
     tri = triangles_df(spark, sf_dir)
     n_pip = pip_join(ents.select("lat", "lng", "doc_id", "mention_idx"),
                      tri, point_cols=("doc_id", "mention_idx")).count()

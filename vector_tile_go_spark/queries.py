@@ -11,7 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sparkops.udfs import decode_tiles, encode_point_tiles, tile_stats
+from .sparkops.udfs import (decode_tile_stats, decode_tiles,
+                            encode_point_tiles, tile_stats)
 from .text import geo
 from .text.pages import (assign_tiles, build_pages, extract_geo_entities,
                          load_documents)
@@ -171,10 +172,10 @@ def q_roundtrip_counts(spark, sf_dir):
     e = entities_df(spark, sf_dir)
     tiles = encode_point_tiles(e, layer_name="geo",
                                prop_cols=("url", "mention_idx"))
-    feats = decode_tiles(tiles, mode="props")
-    return (feats.groupBy("z", "x", "y")
-            .agg(F.count("*").alias("n_features"),
-                 F.countDistinct(F.col("properties")["url"]).alias("n_urls")))
+    # fused decode+aggregate: per-tile stats computed inside the UDF — the
+    # Arrow return is 1 row/tile, not 1 row/feature (the decode-return
+    # scaling fix; semantics identical because encode emits one row/tile)
+    return decode_tile_stats(tiles, distinct_prop="url", out_col="n_urls")
 
 
 def q_roundtrip_geometry(spark, sf_dir):
@@ -205,10 +206,9 @@ def q_roundtrip_salted(spark, sf_dir):
     e = entities_df(spark, sf_dir)
     tiles = encode_point_tiles_salted(e, layer_name="geo",
                                       prop_cols=("url", "mention_idx"))
-    feats = decode_tiles(tiles, mode="props")
-    return (feats.groupBy("z", "x", "y")
-            .agg(F.count("*").alias("n_features"),
-                 F.countDistinct(F.col("properties")["url"]).alias("n_urls")))
+    # fused stats decode handles the multi-frame (salted-concat) tiles by
+    # unioning distinct sets across frames inside the UDF
+    return decode_tile_stats(tiles, distinct_prop="url", out_col="n_urls")
 
 
 def q_geobuf_roundtrip(spark, sf_dir):
@@ -219,11 +219,8 @@ def q_geobuf_roundtrip(spark, sf_dir):
     from .sparkops.udfs import encode_geobuf_tiles, transcode_geobuf_tiles
     e = entities_df(spark, sf_dir)
     gb = encode_geobuf_tiles(e, prop_cols=("url", "mention_idx"))
-    feats = decode_tiles(transcode_geobuf_tiles(gb, layer_name="geo"),
-                         mode="props")
-    return (feats.groupBy("z", "x", "y")
-            .agg(F.count("*").alias("n_features"),
-                 F.countDistinct(F.col("properties")["url"]).alias("n_urls")))
+    return decode_tile_stats(transcode_geobuf_tiles(gb, layer_name="geo"),
+                             distinct_prop="url", out_col="n_urls")
 
 
 def q_lineitem_pricing(spark, sf_dir):

@@ -348,6 +348,76 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
     return tiles.mapInPandas(decode_batch, schema)
 
 
+def decode_tile_stats(tiles: DataFrame, layers: list[str] | None = None,
+                      distinct_prop: str = "url",
+                      out_col: str = "n_urls") -> DataFrame:
+    """Fused decode+aggregate: per-tile feature count and distinct values of
+    one property, computed INSIDE the decode UDF — ~1 output row per tile
+    instead of 1 per feature crossing the python->JVM Arrow boundary.
+
+    Semantically identical to
+    ``decode_tiles(mode="props").groupBy(z,x,y).agg(count(*),
+    countDistinct(properties[distinct_prop]))`` for the count-shaped
+    round-trip queries, because the encoders emit exactly one row per
+    (z, x, y): the per-tile group is already complete within the row, so
+    the aggregation needs no shuffle at all. Multi-frame tiles (salted
+    concat / composites) union the distinct sets across frames in Python.
+
+    This is the engine's answer to the decode-return scaling bottleneck
+    (BASELINE.md §scaling): the contended Arrow return traffic drops by
+    ~features-per-tile (10^3x for dense tiles) for queries that only need
+    per-tile aggregates. Null property values are excluded from the
+    distinct count (countDistinct semantics)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codec.decode import bulk_point_layer, decode_feature, parse_tile
+        for pdf in batches:
+            rows = []
+            for z, x, y, buf in zip(pdf["z"], pdf["x"], pdf["y"],
+                                    pdf["tile_pbf"]):
+                if buf is None:
+                    continue
+                n = 0
+                vals: set = set()
+                for lf in parse_tile(bytes(buf)):
+                    if layers is not None and lf.name not in layers:
+                        continue
+                    bulk = bulk_point_layer(lf)
+                    if bulk is not None:
+                        ids, key_idx, val_idx, _, _, n_props = bulk
+                        if (len(ids) and bool((key_idx == key_idx[0]).all())
+                                and bool((key_idx[0] < len(lf.keys)).all())
+                                and bool((val_idx < len(lf.values)).all())):
+                            n += len(ids)
+                            names0 = [lf.keys[k] for k in key_idx[0].tolist()]
+                            if distinct_prop in names0:
+                                j = names0.index(distinct_prop)
+                                varr = np.asarray(lf.values, dtype=object)
+                                # distinct over unique dictionary indices,
+                                # then map to values (robust to foreign
+                                # tiles with duplicated dictionary entries)
+                                for v in varr[np.unique(val_idx[:, j])]:
+                                    if v is not None:
+                                        vals.add(str(v))
+                            continue
+                    for span in lf.feature_spans:
+                        f = decode_feature(lf, span, mode="props")
+                        if f is None:
+                            continue
+                        n += 1
+                        v = f.properties.get(distinct_prop)
+                        if v is not None:
+                            vals.add(str(v))
+                if n:
+                    rows.append((int(z), int(x), int(y), n, len(vals)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["z", "x", "y",
+                                                  "n_features", out_col])
+
+    return tiles.mapInPandas(
+        stats, f"z int, x bigint, y bigint, n_features bigint, {out_col} bigint")
+
+
 def encode_geobuf_tiles(entities: DataFrame,
                         prop_cols: tuple[str, ...] = ("url", "mention_idx"),
                         id_col: str = "doc_id",
