@@ -732,6 +732,49 @@ def q_reduce_bbox_cull(spark, sf_dir):
                     keep.cast("int").alias("keep"))
 
 
+def q_reduce_multipoint(spark, sf_dir):
+    """MultiPoint centroid zoom-reduce (feature_reduce.go:209-230): a doc
+    with >= 2 mentions is one MultiPoint feature; its centroid (coordinate
+    average) picks the occupancy cell at the reduce zoom; ONE feature
+    survives per occupied cell and becomes a Point at the centroid
+    (``feature.Geometry.Type = "Point"``). The engine's representative is
+    the min doc_id (deterministic) instead of the reference's map-iteration
+    first-wins; the centroid is computed from exact integer micro-degree
+    sums (single float division) so the oracle reproduces it bit-for-bit.
+    Kept centroids round-trip the point encoder; output = per-tile kept
+    count from the layer header (NewTile lazy scan)."""
+    from .sparkops.udfs import encode_point_tiles, tile_stats
+    e = entities_df(spark, sf_dir)
+    m = (e.withColumn("lat_u", geo.lat_udeg_col(F.col("doc_id"),
+                                                F.col("mention_idx")))
+         .withColumn("lng_u", geo.lng_udeg_col(F.col("doc_id"),
+                                               F.col("mention_idx"))))
+    g = (m.groupBy("doc_id")
+         .agg(F.count("*").alias("n_pts"),
+              F.sum("lat_u").alias("slat"), F.sum("lng_u").alias("slng"))
+         .filter(F.col("n_pts") >= 2))
+    cent = g.select(
+        "doc_id",
+        (F.col("slat") / (F.col("n_pts") * F.lit(1000000.0))).alias("lat"),
+        (F.col("slng") / (F.col("n_pts") * F.lit(1000000.0))).alias("lng"))
+    zz = ZOOM + REDUCE_STEPS
+    cx, cy = geo.tile_xy_cols(zz, F.col("lat"), F.col("lng"))
+    px, py = geo.tile_xy_cols(ZOOM, F.col("lat"), F.col("lng"))
+    d = (cent.withColumn("cx", cx).withColumn("cy", cy)
+         .withColumn("x", px).withColumn("y", py))
+    reps = (d.groupBy("x", "y", "cx", "cy")
+            .agg(F.min(F.struct("doc_id", "lat", "lng")).alias("r")))
+    ents2 = reps.select(
+        F.lit(ZOOM).alias("z"), "x", "y",
+        F.col("r.lng").alias("lng"), F.col("r.lat").alias("lat"),
+        # id 0 is absent on the wire; ship doc_id+1
+        (F.col("r.doc_id") + 1).alias("rep_id"))
+    tiles = encode_point_tiles(ents2, layer_name="mp_reduced", prop_cols=(),
+                               id_col="rep_id")
+    s = tile_stats(tiles)
+    return s.select("z", "x", "y", "n_features")
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN (similarity/ann.py): coarse-centroid inverted lists, one
     shuffle on centroid id. Probed at n_probe = n_centroids here so recall
@@ -838,6 +881,7 @@ QUERIES = {
     "multipoint_roundtrip": q_multipoint_roundtrip,
     "typed_values": q_typed_values,
     "reduce_bbox_cull": q_reduce_bbox_cull,
+    "reduce_multipoint": q_reduce_multipoint,
 }
 
 _SHINGLES_CTE = """
@@ -1056,6 +1100,7 @@ FROM documents""",
             "COUNT(*) AS n_points FROM tiled GROUP BY z, x, y",
             zoom=ZOOM),
         "overzoom_pyramid": _overzoom_oracle(),
+        "reduce_multipoint": _multipoint_reduce_oracle(),
         "tile_dict_stats": _mentions_oracle(
             # url <-> doc_id is a bijection, so distinct url values == distinct
             # doc_ids; value dictionary = urls + mention_idx strings
@@ -1256,6 +1301,32 @@ tiled AS (
 SELECT n_nationkey AS nk, CAST(g.j AS INT) AS j,
        {ix} AS ix, {iy} AS iy, 'MultiPoint' AS gtype
 FROM tiled, (SELECT unnest(range(0, 3)) AS j) g"""
+
+
+def _multipoint_reduce_oracle() -> str:
+    """MultiPoint centroid reduce: centroid from exact integer micro-degree
+    sums (single double division, same op order as the Spark plan), cell at
+    the reduce zoom, distinct occupied cells per carrier tile."""
+    zz = ZOOM + REDUCE_STEPS
+    cx, cy = geo.sql_tile_xy(zz)
+    px, py = geo.sql_tile_xy(ZOOM)
+    return f"""
+WITH m AS (
+  SELECT d.doc_id,
+         ((d.doc_id * {geo.LAT_MULT_DOC} + gs.j * {geo.LAT_MULT_J})
+          % {geo.LAT_MOD} - {geo.LAT_OFF}) AS lat_u,
+         ((d.doc_id * {geo.LNG_MULT_DOC} + gs.j * {geo.LNG_MULT_J})
+          % {geo.LNG_MOD} - {geo.LNG_OFF}) AS lng_u
+  FROM documents d, (SELECT unnest(range(0, 3)) AS j) gs
+  WHERE gs.j < d.doc_id % 4),
+c AS (SELECT doc_id, COUNT(*) AS n_pts,
+             SUM(lat_u) AS slat, SUM(lng_u) AS slng
+      FROM m GROUP BY doc_id HAVING COUNT(*) >= 2),
+cent AS (SELECT doc_id, slat / (n_pts * 1000000.0) AS lat,
+                slng / (n_pts * 1000000.0) AS lng FROM c),
+cells AS (SELECT {px} AS x, {py} AS y, {cx} AS cx, {cy} AS cy FROM cent)
+SELECT {ZOOM} AS z, x, y, COUNT(DISTINCT (cx, cy)) AS n_features
+FROM cells GROUP BY x, y"""
 
 
 def _overzoom_oracle() -> str:
