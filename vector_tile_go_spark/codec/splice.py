@@ -6,6 +6,13 @@ fast path that never re-encodes geometry:
                    reusing the original key/value dictionaries
                    (read_layer.go:297-317 FilterLayer + CleanLayer reuse)
 - render           re-frame kept layers of a tile       (read_tile.go:47-56)
+- clean_layer      seed a LayerEncoder with a frame's existing dictionaries
+                   and verbatim feature bytes            (operations.go:26-54)
+- append_features  O(appended-bytes) layer append: splice the old frame out,
+                   append new features reusing dictionary indices
+                   (operations.go:60-91 AddFeaturesToLayer)
+- get_last_point   final cursor position of a layer's last feature
+                   (read_feature_lazy.go:402-445)
 
 These run on single tile buffers (the Spark layer maps them over Arrow
 batches); predicates see decoded properties only — geometry bytes are
@@ -72,3 +79,85 @@ def filter_layer(buf: bytes, layer_name: str, keep_fn) -> bytes:
         body += bytes([120, lf.version])
         out += _frame_layer_body(bytes(body))
     return bytes(out)
+
+
+def get_last_point(lf: LayerFrame) -> tuple[int, int] | None:
+    """get_last_point (read_feature_lazy.go:402-445): the last vertex of a
+    layer's final feature — the cursor seed the reference's lazy append
+    (ToLayerWrite, read_layer.go:196-232) installs before AddFeatureLazy.
+    The engine exposes it for parity/diagnostics but does NOT seed appended
+    features with it: this codec is MVT-spec (cursor reset per feature,
+    decode.py:10-19), whereas the reference's continuation only round-trips
+    through its own absolute-MoveTo decoder (read_tile.go:231-235)."""
+    if not lf.feature_spans:
+        return None
+    f = decode_feature(lf, lf.feature_spans[-1], mode="int")
+    if f is None or not len(f.xs):
+        return None
+    return int(f.xs[-1]), int(f.ys[-1])
+
+
+def clean_layer(lf: LayerFrame, z: int, x: int, y: int,
+                extent_clamp: bool = True):
+    """CleanLayer (operations.go:26-54): a LayerEncoder pre-seeded with the
+    frame's existing key/value dictionaries — dictionary BYTES copied
+    verbatim, index maps rebuilt so appended features reuse existing
+    indices — and the raw feature frames copied verbatim. Appending to the
+    returned encoder costs O(appended bytes), not O(tile bytes)."""
+    from .encode import LayerEncoder
+
+    enc = LayerEncoder(z, x, y, lf.name, lf.extent, lf.version, extent_clamp)
+    for i, k in enumerate(lf.keys):
+        if k in enc.keys:
+            # duplicate dictionary entry (foreign tile): keep the first
+            # index live, burn slot i with an unmatchable filler so new
+            # keys keep indexing past the existing frames
+            enc.keys[("__dup_key__", i)] = i
+        else:
+            enc.keys[k] = i
+    for i, v in enumerate(lf.values):
+        vk = (type(v).__name__, v)
+        if vk in enc.values:
+            enc.values[("__dup_val__", i)] = i
+        else:
+            enc.values[vk] = i
+    for ds in lf.dict_spans:
+        # key AND value frames verbatim, original order; new key frames
+        # append after (protobuf repeated fields may interleave — decoders
+        # index each field number by arrival order, which is preserved)
+        enc.keys_bytes += lf.buf[ds[0]:ds[1]]
+    for fs in lf.feature_frame_spans:
+        enc.features += lf.buf[fs[0]:fs[1]]
+    enc.n_features = len(lf.feature_frame_spans)
+    return enc
+
+
+def append_features(buf: bytes, layer_name: str, features, z: int, x: int,
+                    y: int, extent_clamp: bool = True) -> bytes:
+    """AddFeaturesToLayer (operations.go:60-91) in splice mode: the target
+    layer's dictionaries and feature bytes are copied verbatim
+    (clean_layer), new features are appended reusing dictionary indices,
+    the old frame is spliced out and the rebuilt frame appended at the
+    tile's end — byte-order parity with the reference. When the layer is
+    absent a fresh one is created. ``features`` are encode_layer-style
+    dicts (type/coordinates/properties/id). For small appends into huge
+    tiles this is O(appended bytes) of encode work vs the re-encode path's
+    O(tile bytes); only the first matching frame is cleaned (composited
+    same-name frames pass through verbatim — readers merge them)."""
+    from .encode import LayerEncoder
+
+    enc = None
+    out = bytearray()
+    for lf in parse_tile(buf):
+        if enc is None and lf.name == layer_name:
+            enc = clean_layer(lf, z, x, y, extent_clamp)
+            continue  # spliced out; the rebuilt frame lands at the end
+        size = lf.end - lf.start
+        frame_start = lf.start - len(encode_varint(size)) - 1
+        out += buf[frame_start:lf.end]
+    if enc is None:
+        enc = LayerEncoder(z, x, y, layer_name, extent_clamp=extent_clamp)
+    for f in features:
+        enc.add_feature(f["type"], f["coordinates"], f.get("properties"),
+                        f.get("id"))
+    return bytes(out) + enc.flush()

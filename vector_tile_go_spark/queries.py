@@ -450,6 +450,24 @@ def q_upsert_features(spark, sf_dir):
     return feats.groupBy("z", "x", "y").agg(F.count("*").alias("n_features"))
 
 
+def q_upsert_splice(spark, sf_dir):
+    """Byte-splice upsert (AddFeaturesToLayer lazy-append parity,
+    operations.go:26-91): same merge as upsert_features but touched tiles
+    keep their existing feature bytes + dictionaries VERBATIM and only the
+    appended features are encoded — O(appended bytes) per tile. Same
+    invariant/oracle as the re-encode mode."""
+    from .sparkops.compositing import upsert_features
+    from .sparkops.udfs import decode_tiles, encode_point_tiles
+    e = entities_df(spark, sf_dir)
+    existing = encode_point_tiles(e.filter(F.col("doc_id") % 3 != 0),
+                                  layer_name="geo", prop_cols=("mention_idx",))
+    new = e.filter(F.col("doc_id") % 3 == 0)
+    merged = upsert_features(existing, new, layer_name="geo",
+                             prop_cols=("mention_idx",), mode="splice")
+    feats = decode_tiles(merged, mode="props")
+    return feats.groupBy("z", "x", "y").agg(F.count("*").alias("n_features"))
+
+
 # --- web-scale text / dedup / similarity operators --------------------------
 
 def q_exact_dedup(spark, sf_dir):
@@ -858,6 +876,7 @@ QUERIES = {
     "remove_layer": q_remove_layer,
     "filter_layer": q_filter_layer,
     "upsert_features": q_upsert_features,
+    "upsert_splice": q_upsert_splice,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -923,6 +942,9 @@ def oracle_queries() -> dict[str, str]:
             "FROM tiled WHERE j = 0 GROUP BY z, x, y",
             zoom=ZOOM),
         "upsert_features": _mentions_oracle(
+            "SELECT z, x, y, COUNT(*) AS n_features FROM tiled GROUP BY z, x, y",
+            zoom=ZOOM),
+        "upsert_splice": _mentions_oracle(
             "SELECT z, x, y, COUNT(*) AS n_features FROM tiled GROUP BY z, x, y",
             zoom=ZOOM),
         "exact_dedup": """

@@ -69,12 +69,25 @@ def filter_layer(tiles: DataFrame, layer_name: str, keep_fn) -> DataFrame:
 
 def upsert_features(existing_tiles: DataFrame, new_entities: DataFrame,
                     layer_name: str = "geo",
-                    prop_cols: tuple[str, ...] = ("url", "mention_idx")) -> DataFrame:
-    """Merge new point entities into existing encoded tiles: tiles whose key
-    appears in the new batch are re-encoded from (decoded old + new) rows;
-    untouched tiles pass through verbatim — the distributed MERGE INTO
-    shape used by the streaming maintenance path (streaming/tiles.py)."""
+                    prop_cols: tuple[str, ...] = ("url", "mention_idx"),
+                    mode: str = "reencode") -> DataFrame:
+    """Merge new point entities into existing encoded tiles — the
+    distributed MERGE INTO shape used by the streaming maintenance path
+    (streaming/tiles.py). Untouched tiles pass through verbatim; touched
+    tiles are updated per ``mode``:
+
+    - ``reencode``: decode old rows, union with new, re-encode the whole
+      tile group. O(tile bytes) CPU per touched tile; the merge shuffle
+      dominates at cluster scale either way.
+    - ``splice``: the reference's lazy-append path (AddFeaturesToLayer,
+      operations.go:60-91): existing feature bytes + dictionaries copied
+      verbatim, only the appended features are encoded — O(appended bytes)
+      CPU, the right mode for small upserts into huge tiles."""
     from .udfs import decode_tiles, encode_point_tiles
+
+    if mode == "splice":
+        return _upsert_splice(existing_tiles, new_entities, layer_name,
+                              prop_cols)
 
     touched_keys = new_entities.select("z", "x", "y").distinct()
     untouched = existing_tiles.join(touched_keys, ["z", "x", "y"], "left_anti")
@@ -91,3 +104,53 @@ def upsert_features(existing_tiles: DataFrame, new_entities: DataFrame,
     re_encoded = encode_point_tiles(merged, layer_name=layer_name,
                                     prop_cols=prop_cols)
     return untouched.unionByName(re_encoded)
+
+
+def _upsert_splice(existing_tiles: DataFrame, new_entities: DataFrame,
+                   layer_name: str,
+                   prop_cols: tuple[str, ...]) -> DataFrame:
+    """Byte-splice upsert: per touched tile, append_features() reuses the
+    existing frame verbatim. New-tile keys (no existing row) get a fresh
+    layer through the same kernel (append into an empty buffer). One
+    shuffle on the tile key for the adds; the existing tile table is
+    joined on the same key."""
+    adds = (new_entities
+            .select("z", "x", "y", F.struct(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("lng").cast("double").alias("lng"),
+                F.col("lat").cast("double").alias("lat"),
+                *[F.col(c).cast("string").alias(c)
+                  for c in prop_cols]).alias("a"))
+            .groupBy("z", "x", "y")
+            # sort_array -> deterministic append order (doc_id leads the
+            # struct), so the spliced bytes are reproducible run to run
+            .agg(F.sort_array(F.collect_list("a")).alias("adds")))
+    untouched = existing_tiles.join(adds.select("z", "x", "y"),
+                                    ["z", "x", "y"], "left_anti")
+    touched = adds.join(existing_tiles, ["z", "x", "y"], "left")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, x, y, adds_, buf, nf in zip(
+                    pdf["z"], pdf["x"], pdf["y"], pdf["adds"],
+                    pdf["tile_pbf"], pdf["n_features"]):
+                feats = [{"type": "Point",
+                          "coordinates": [float(a["lng"]), float(a["lat"])],
+                          "id": int(a["doc_id"]),
+                          "properties": {c: a[c] for c in prop_cols}}
+                         for a in adds_]
+                base = bytes(buf) if buf is not None else b""
+                out = splice.append_features(base, layer_name, feats,
+                                             int(z), int(x), int(y))
+                old_n = int(nf) if not pd.isna(nf) else 0
+                rows.append((int(z), int(x), int(y), layer_name, out,
+                             old_n + len(feats)))
+            yield pd.DataFrame(rows, columns=["z", "x", "y", "layer",
+                                              "tile_pbf", "n_features"])
+
+    merged = touched.select(
+        "z", "x", "y", "adds", "tile_pbf", "n_features").mapInPandas(
+        run, "z int, x bigint, y bigint, layer string, tile_pbf binary, "
+             "n_features int")
+    return untouched.unionByName(merged)
