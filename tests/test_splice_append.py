@@ -96,3 +96,30 @@ def test_append_into_empty_buffer():
     out = splice.append_features(b"", "geo", _feats([1, 2]), *TILE)
     assert _decoded_set(out) == _decoded_set(
         encode_layer(_feats([1, 2]), *TILE, "geo"))
+
+
+def test_add_feature_raw_byte_parity():
+    """AddFeatureRaw (write_feature.go:179-209): feeding the canonical
+    encoder's own command stream back through the raw path reproduces the
+    projected encode byte-for-byte."""
+    from vector_tile_go_spark.codec.decode import varint_decode_all
+    from vector_tile_go_spark.codec.encode import LayerEncoder
+
+    feats = _feats([1, 2, 3])
+    a = LayerEncoder(*TILE, "geo")
+    for f in feats:
+        a.add_feature(f["type"], f["coordinates"], f["properties"], f["id"])
+    buf_a = a.flush()
+
+    # extract each feature's raw geometry ints from the canonical output
+    lf = parse_tile(buf_a)[0]
+    b = LayerEncoder(*TILE, "geo")
+    for f, span in zip(feats, lf.feature_spans):
+        fbuf = lf.buf[span[0]:span[1]]
+        # geometry field (0x22) payload of this feature frame
+        i = fbuf.rindex(b"\x22")
+        glen = fbuf[i + 1]
+        cmds = varint_decode_all(
+            np.frombuffer(fbuf, np.uint8, glen, i + 2))
+        b.add_feature_raw(1, cmds, f["properties"], f["id"])
+    assert b.flush() == buf_a

@@ -277,6 +277,29 @@ class LayerEncoder:
         self.n_features += 1
         return True
 
+    def add_feature_raw(self, geom_type_int: int, cmds,
+                        properties: dict | None = None,
+                        feature_id=None) -> None:
+        """AddFeatureRaw (write_feature.go:179-209): append a feature from a
+        PRE-BUILT command-integer stream, skipping projection/quantization —
+        the wire-level input mode for transcode pipelines that already hold
+        MVT geometry ints. Field emission matches the reference: id only
+        when > 0, tags only when properties present, type only when
+        non-zero, geometry only when non-empty."""
+        parts = bytearray()
+        if feature_id is not None and int(feature_id) > 0:
+            parts += bytes([8]) + encode_varint(int(feature_id))
+        if properties:
+            parts += bytes([18]) + write_packed_uint32(
+                np.array(self._tags(properties), dtype=np.uint64))
+        if geom_type_int:
+            parts += bytes([24, int(geom_type_int)])
+        cmds = np.asarray(cmds, dtype=np.uint64)
+        if len(cmds):
+            parts += bytes([34]) + write_packed_uint32(cmds)
+        self.features += bytes([18]) + encode_varint(len(parts)) + parts
+        self.n_features += 1
+
     def flush(self) -> bytes:
         """Layer framing (write_layer.go:146-174 / Flush :178-211): name,
         features, keys, values, extent (field 5), version (field 15), wrapped

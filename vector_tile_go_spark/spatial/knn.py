@@ -72,7 +72,11 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
         done = cand.join(satisfied_keys, qkey, "left_semi") \
             .select(qkey, "rank", "doc_id", "mention_idx", "dist2")
         results = done if results is None else results.unionByName(done)
-        pending = pending.join(satisfied_keys, qkey, "left_anti")
+        # localCheckpoint: truncate the union/anti-join lineage each round
+        # (the per-round take(1) below re-evaluates pending otherwise, and
+        # the plan would double every escalation)
+        pending = pending.join(satisfied_keys, qkey, "left_anti") \
+            .localCheckpoint()
         if not pending.take(1):
             break
         r *= 2
@@ -84,6 +88,10 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k) \
             .select(qkey, "rank", "doc_id", "mention_idx", "dist2")
         results = cand if results is None else results.unionByName(cand)
+    # materialize the (dimension-sized) result so the cached point table can
+    # be released immediately instead of leaking until session teardown
+    results = results.localCheckpoint()
+    p.unpersist()
     return results
 
 
