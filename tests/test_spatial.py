@@ -98,3 +98,58 @@ def test_pip_join_matches_signtest(spark, sf_dir):
         .sort_values(["n_nationkey", "doc_id", "mention_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype("int64").reset_index(drop=True), exp.astype("int64"))
+
+
+def test_hexgrid_invariants(spark):
+    """Hex cell algebra: disk cardinality 3r^2+3r+1, cell containment
+    (every point's cell center within the circumradius), and the kNN
+    guarantee's center-distance premise (>= 1.5*s*d for hex distance d)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from vector_tile_go_spark.spatial import hexgrid
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({"lat": rng.uniform(-80, 80, 500),
+                        "lng": rng.uniform(-179, 179, 500)})
+    df = spark.createDataFrame(pdf)
+    s = hexgrid.DEFAULT_SIZE
+    hq, hr = hexgrid.hex_cell_cols(F.col("lat"), F.col("lng"), s)
+    d = df.withColumn("hq", hq).withColumn("hr", hr)
+    clng, clat = hexgrid.hex_center_cols(F.col("hq"), F.col("hr"), s)
+    d = d.withColumn("clng", clng).withColumn("clat", clat)
+    rows = d.collect()
+    for r in rows:
+        # containment: distance to assigned center <= circumradius s (+eps)
+        dist = ((r["lat"] - r["clat"]) ** 2 + (r["lng"] - r["clng"]) ** 2) ** 0.5
+        assert dist <= s + 1e-9, (r, dist)
+
+    # disk cardinality
+    one = spark.createDataFrame(pd.DataFrame({"hq": [0], "hr": [0]}))
+    for rad in (1, 2, 3):
+        n = hexgrid.hex_disk(one, "hq", "hr", rad).count()
+        assert n == 3 * rad * rad + 3 * rad + 1
+
+    # center-distance premise of the exactness margin
+    cells = [(q, r) for q in range(-4, 5) for r in range(-4, 5)]
+    for q, r in cells:
+        hd = (abs(q) + abs(r) + abs(q + r)) / 2
+        if hd == 0:
+            continue
+        cx = 3 ** 0.5 * s * (q + r / 2)
+        cy = 1.5 * s * r
+        assert (cx * cx + cy * cy) ** 0.5 >= 1.5 * s * hd - 1e-9
+
+
+def test_hex_knn_matches_bruteforce(spark, sf_dir):
+    from vector_tile_go_spark.spatial.hexgrid import hex_knn_join
+    from vector_tile_go_spark.spatial.knn import knn_bruteforce
+    from vector_tile_go_spark.spatial.polygons import query_points
+    from vector_tile_go_spark.text.pages import (build_pages,
+                                                 extract_geo_entities)
+    e = extract_geo_entities(build_pages(spark, sf_dir)) \
+        .select("lat", "lng", "doc_id", "mention_idx")
+    q = query_points(spark, sf_dir)
+    hexed = hex_knn_join(q, e, k=5).orderBy("qid", "rank").collect()
+    brute = knn_bruteforce(q, e, k=5).orderBy("qid", "rank").collect()
+    assert [tuple(r) for r in hexed] == [tuple(r) for r in brute]

@@ -350,6 +350,35 @@ def q_knn(spark, sf_dir):
                       F.col("mention_idx").alias("j"), "dist2")
 
 
+def q_hex_rollup(spark, sf_dir):
+    """Hex cell index rollup (spatial/hexgrid.py — the north rule's
+    H3-style grid): every mention assigned to its axial hex cell via cube
+    rounding (pure JVM expressions), per-cell mention + distinct-doc
+    counts. The oracle replays the identical FLOOR(v+0.5) rounding and
+    CASE cube fix in DuckDB, so cell assignment is verified bit-for-bit."""
+    from .spatial import hexgrid
+    e = extract_geo_entities(build_pages(spark, sf_dir))
+    hq, hr = hexgrid.hex_cell_cols(F.col("lat"), F.col("lng"))
+    return (e.withColumn("hq", hq).withColumn("hr", hr)
+            .groupBy("hq", "hr")
+            .agg(F.count("*").alias("n_mentions"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
+def q_hex_knn(spark, sf_dir):
+    """Exact kNN re-based on the hex cell index (hexgrid.hex_knn_join):
+    escalating hex-disk search with the 1.5*s*(rad+1) - 2*s euclidean
+    guarantee margin. Same brute-force oracle as the quadtree-grid knn —
+    exactness of the hex plan is the point."""
+    from .spatial.hexgrid import hex_knn_join
+    from .spatial.polygons import query_points
+    e = extract_geo_entities(build_pages(spark, sf_dir))
+    q = query_points(spark, sf_dir)
+    out = hex_knn_join(q, e.select("lat", "lng", "doc_id", "mention_idx"), k=5)
+    return out.select("qid", "rank", "doc_id",
+                      F.col("mention_idx").alias("j"), "dist2")
+
+
 def q_raster_occupancy(spark, sf_dir):
     """Rasterize point features into 256x256 per-tile count grids
     (spatial/raster.py); per-tile occupied-cell count must equal the
@@ -870,6 +899,8 @@ QUERIES = {
     "hot_domains": q_hot_domains,
     "pip_join": q_pip_join,
     "knn": q_knn,
+    "hex_rollup": q_hex_rollup,
+    "hex_knn": q_hex_knn,
     "raster_occupancy": q_raster_occupancy,
     "raster_vector_roundtrip": q_raster_vector_roundtrip,
     "compositing": q_compositing,
@@ -1078,6 +1109,17 @@ FROM documents""",
             + " GROUP BY t.n_nationkey",
             extra_cte=",\n" + polygons.sql_triangles_cte()),
         "knn": _mentions_oracle(
+            "SELECT qid, rank, doc_id, j, dist2 FROM ("
+            "  SELECT q.qid, m.doc_id, m.j, "
+            "    (m.lat - q.qlat) * (m.lat - q.qlat) + "
+            "    (m.lng - q.qlng) * (m.lng - q.qlng) AS dist2, "
+            "    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY "
+            "      (m.lat - q.qlat) * (m.lat - q.qlat) + "
+            "      (m.lng - q.qlng) * (m.lng - q.qlng), m.doc_id, m.j) AS rank "
+            "  FROM qpts q CROSS JOIN mentions m) WHERE rank <= 5",
+            extra_cte=",\n" + polygons.sql_query_points_cte()),
+        "hex_rollup": _hex_rollup_oracle(),
+        "hex_knn": _mentions_oracle(
             "SELECT qid, rank, doc_id, j, dist2 FROM ("
             "  SELECT q.qid, m.doc_id, m.j, "
             "    (m.lat - q.qlat) * (m.lat - q.qlat) + "
@@ -1323,6 +1365,16 @@ tiled AS (
 SELECT n_nationkey AS nk, CAST(g.j AS INT) AS j,
        {ix} AS ix, {iy} AS iy, 'MultiPoint' AS gtype
 FROM tiled, (SELECT unnest(range(0, 3)) AS j) g"""
+
+
+def _hex_rollup_oracle() -> str:
+    """Hex cell assignment replayed in DuckDB — identical axial-forward,
+    FLOOR(v+0.5) rounding and cube-fix CASE as hexgrid.hex_cell_cols."""
+    from .spatial import hexgrid
+    hq, hr = hexgrid.sql_hex_cell("m.lat", "m.lng")
+    return _mentions_oracle(
+        f"SELECT {hq} AS hq, {hr} AS hr, COUNT(*) AS n_mentions, "
+        "COUNT(DISTINCT m.doc_id) AS n_docs FROM mentions m GROUP BY 1, 2")
 
 
 def _multipoint_reduce_oracle() -> str:
