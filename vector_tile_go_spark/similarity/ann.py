@@ -206,14 +206,20 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.35,
     with a 256 MB block budget -> n_blocks ~ 2000, ~2M tasks of ~1 GFLOP).
     For corpora where even that flop count is infeasible, lsh_topk's
     bucketing is the approximate path."""
+    spark = embeddings.sparkSession
     blocked = embeddings.select(key_col, vec_col).withColumn(
         "blk", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_blocks)).cast("int"))
     packed = blocked.groupBy("blk").agg(
         F.collect_list(F.struct(F.col(key_col).alias("id"),
                                 F.col(vec_col).alias("v"))).alias("items"))
+    # explicit block-pair driver table (B*(B+1)/2 tiny rows) + two broadcast
+    # equi-joins — not a non-equi nested-loop join
+    pair_rows = [(bi, bj) for bi in range(n_blocks)
+                 for bj in range(bi, n_blocks)]
+    pairs_df = spark.createDataFrame(pair_rows, "bi int, bj int")
     L = packed.select(F.col("blk").alias("bi"), F.col("items").alias("ia"))
     R = packed.select(F.col("blk").alias("bj"), F.col("items").alias("ib"))
-    bp = (L.join(R, F.col("bi") <= F.col("bj"))
+    bp = (F.broadcast(pairs_df).join(L, "bi").join(R, "bj")
           .repartition(max(1, n_blocks * (n_blocks + 1) // 2), "bi", "bj"))
 
     def unpack(items) -> tuple[np.ndarray, np.ndarray]:
