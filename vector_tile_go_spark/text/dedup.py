@@ -120,13 +120,31 @@ def minhash_signature_table(docs: DataFrame, n: int = 3,
 
     ``shingles``: pre-computed (cached) word_shingles output — lets callers
     share one shingle scan between the signature chain and an exact-verify
-    pass instead of shingling the corpus twice."""
+    pass instead of shingling the corpus twice.
+
+    The modular product (a_i * h0 + b_i) mod (2^61 - 1) runs in pure BIGINT
+    shift-fold arithmetic (p is Mersenne: 2^61 ≡ 1 mod p, so the h0-high
+    partial product folds with two shifts) — no decimal(38,0) in the
+    generated code; mathematically identical to the wide-integer form the
+    DuckDB oracle still computes with HUGEINT. Overflow audit: h0 < 2^60,
+    a < 2^29, b < 2^60 -> every intermediate < 2^63."""
     sh = shingles if shingles is not None else word_shingles(
         docs, n, text_col, key_col)
-    h0 = _h60(F.col("shingle"), F.lit(0)).cast("decimal(38,0)")
-    aggs = [F.min(((F.lit(MINHASH_A[i]).cast("decimal(38,0)") * h0
-                    + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).cast("long"))
-            .alias(f"mh{i}") for i in range(N_HASHES)]
+    h0 = _h60(F.col("shingle"), F.lit(0))
+    hi = F.shiftrightunsigned(h0, 30)            # < 2^30
+    lo = h0.bitwiseAND(F.lit((1 << 30) - 1))     # < 2^30
+
+    def affine_mod(a: int, b: int) -> F.Column:
+        t1 = F.lit(a) * hi                       # a*hi < 2^59
+        # (t1 * 2^30) mod p == (t1 >> 31) + ((t1 & (2^31-1)) << 30)  (< 2^61+2^28)
+        t2 = (F.shiftrightunsigned(t1, 31)
+              + F.shiftleft(t1.bitwiseAND(F.lit((1 << 31) - 1)), 30))
+        t4 = t2 + F.lit(a) * lo + F.lit(b)       # < 2^63
+        folded = F.shiftrightunsigned(t4, 61) + t4.bitwiseAND(F.lit(MINHASH_P))
+        return folded % F.lit(MINHASH_P)
+
+    aggs = [F.min(affine_mod(MINHASH_A[i], MINHASH_B[i])).alias(f"mh{i}")
+            for i in range(N_HASHES)]
     return sh.groupBy(key_col).agg(*aggs)
 
 
