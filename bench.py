@@ -260,16 +260,21 @@ def run_pipeline_shard(cores: int, sf_dir: str, amplify: int,
     tiles = encode_point_tiles(ents, layer_name="geo",
                                prop_cols=("url", "mention_idx")).persist()
     n_tiles = tiles.count()
+    t1 = time.perf_counter()
     n_mentions = int(decode_tile_stats(tiles)
                      .agg(F.sum("n_features")).first()[0])
+    t2 = time.perf_counter()
     tri = triangles_df(spark, sf_dir)
     n_pip = pip_join(ents.select("lat", "lng", "doc_id", "mention_idx"),
                      tri, point_cols=("doc_id", "mention_idx")).count()
-    wall = time.perf_counter() - t0
+    t3 = time.perf_counter()
+    wall = t3 - t0
     tiles.unpersist()
     spark.stop()
     return {"shard": shard, "n_shards": n_shards, "cores": cores,
             "n_tiles": n_tiles, "n_mentions": n_mentions, "n_pip": n_pip,
+            "encode_sec": round(t1 - t0, 3), "decode_sec": round(t2 - t1, 3),
+            "pip_sec": round(t3 - t2, 3),
             "pipeline_sec": round(wall, 3)}
 
 
@@ -349,6 +354,46 @@ def run_scaling(sf_dir: str, amplify: int, n_execs: int = 4,
     }
 
 
+def run_scaling_cores(sf_dir: str, amplify: int, lo: int = 8,
+                      hi: int = 32) -> dict:
+    """North-rule scaling evidence, single-JVM core-scaling form: the SAME
+    job (full pipeline, identical input) at local[lo] pinned to ``lo`` CPUs
+    vs local[hi] pinned to ``hi`` CPUs — the driver's "local[8] vs
+    local[32]" proxy, made honest with taskset (python UDF workers are
+    separate OS processes that would otherwise escape the core cap).
+    Efficiency = (thr_hi / thr_lo) / (hi / lo)."""
+    import shutil
+    amplify = amplify * 16
+    has_taskset = bool(shutil.which("taskset"))
+    results = {}
+    for cores in (lo, hi):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--cores", str(cores), "--sf-dir", sf_dir,
+               "--amplify", str(amplify), "--pipeline-shard", "0",
+               "--n-shards", "1"]
+        if has_taskset:
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(cmd, stdout=subprocess.PIPE,
+                             stderr=subprocess.DEVNULL, text=True, check=True)
+        shard = json.loads(out.stdout.strip().splitlines()[-1])
+        shard["mentions_per_sec"] = round(
+            shard["n_mentions"] / shard["pipeline_sec"], 1)
+        results[cores] = shard
+    eff = (results[hi]["mentions_per_sec"]
+           / results[lo]["mentions_per_sec"]) / (hi / lo)
+    return {
+        "metric": "throughput scaling efficiency (local[%d] vs local[%d], "
+                  "taskset-pinned, single JVM)" % (lo, hi),
+        "lo_cores": lo, "hi_cores": hi,
+        "lo_mentions_per_sec": results[lo]["mentions_per_sec"],
+        "hi_mentions_per_sec": results[hi]["mentions_per_sec"],
+        "lo_job_sec": results[lo]["pipeline_sec"],
+        "hi_job_sec": results[hi]["pipeline_sec"],
+        "efficiency": round(eff, 3),
+        "detail": results,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int,
@@ -359,11 +404,14 @@ def main():
     ap.add_argument("--amplify", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_AMPLIFY", "96")))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cores", action="store_true")
     ap.add_argument("--pipeline-shard", type=int, default=None)
     ap.add_argument("--n-shards", type=int, default=1)
     args = ap.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, args.amplify)))
+    elif args.scaling_cores:
+        print(json.dumps(run_scaling_cores(args.sf_dir, args.amplify)))
     elif args.pipeline_shard is not None:
         print(json.dumps(run_pipeline_shard(
             args.cores, args.sf_dir, args.amplify,
