@@ -137,3 +137,35 @@ def test_geobuf_transcode_roundtrip(feats):
     for (lname, f), (c, i, p) in zip(out, feats):
         assert f.feature_id == i
         assert f.properties == {"k": p}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.tuples(coord, st.integers(1, 10**9), st.text(max_size=8)),
+             min_size=1, max_size=12),
+    st.lists(st.tuples(coord, st.integers(1, 10**9), st.text(max_size=8)),
+             min_size=1, max_size=8),
+)
+def test_splice_append_equals_reencode_fuzz(old, new):
+    """append_features(encode(A), B) decodes to the same feature set as
+    encode(A + B) for arbitrary point features — ids, properties, and
+    quantized coords all survive the dictionary-reuse splice path."""
+    from vector_tile_go_spark.codec.splice import append_features
+
+    def mk(rows):
+        return [{"type": "Point", "coordinates": list(c),
+                 "properties": {"k": p}, "id": i} for (c, i, p) in rows]
+
+    base = encode_layer(mk(old), 3, 4, 3, "t", extent_clamp=False)
+    spliced = append_features(base, "t", mk(new), 3, 4, 3,
+                              extent_clamp=False)
+    reenc = encode_layer(mk(old) + mk(new), 3, 4, 3, "t",
+                         extent_clamp=False)
+
+    def decoded(buf):
+        return sorted(
+            (f.feature_id, tuple(sorted(f.properties.items())),
+             int(f.xs[0]), int(f.ys[0]))
+            for _, f in decode_tile(buf, 3, 4, 3, mode="int"))
+
+    assert decoded(spliced) == decoded(reenc)
