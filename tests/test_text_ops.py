@@ -138,3 +138,30 @@ def test_simhash_chunk_bits_scaling():
     assert small == 28
     # 10^9 docs wants 20-bit chunks x 4 = 80 bits -> capped at the h60 width
     assert big == 60
+
+
+def test_ivf_kmeans_training_improves_quantizer(spark, sf_dir):
+    """Spherical k-means for the IVF coarse quantizer: training must not
+    decrease mean max-cosine of vectors to their assigned centroid
+    (Lloyd's monotonicity), and trained IVF at full probe stays exact."""
+    from vector_tile_go_spark.similarity.ann import (_normalize,
+                                                     brute_force_topk,
+                                                     ivf_topk,
+                                                     train_ivf_centroids)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.toPandas()
+    m = _normalize(np.array(list(pdf["embedding"]), dtype=np.float64))
+
+    def inertia(c):
+        return float(np.max(m @ c.T, axis=1).mean())
+
+    c0 = train_ivf_centroids(emb, n_centroids=8, iters=0)
+    c2 = train_ivf_centroids(emb, n_centroids=8, iters=2)
+    assert inertia(c2) >= inertia(c0) - 1e-12
+
+    q = pdf.iloc[:3][["vec_id", "embedding"]].rename(
+        columns={"vec_id": "qid"})
+    exact = brute_force_topk(emb, q, k=5).orderBy("qid", "rank").collect()
+    ivf = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8,
+                   train_iters=2).orderBy("qid", "rank").collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]

@@ -831,7 +831,8 @@ def q_ann_ivf(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("qid"), "embedding").toPandas()
-    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=16)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=16,
+                    train_iters=2)
 
 
 def q_ann_lsh(spark, sf_dir):

@@ -134,19 +134,62 @@ def lsh_topk(embeddings: DataFrame, queries: pd.DataFrame, k: int = 10,
             .select("qid", "rank", F.col(key_col).alias("vec_id")))
 
 
-def ivf_topk(embeddings: DataFrame, queries: pd.DataFrame, k: int = 10,
-             n_centroids: int = 16, n_probe: int = 4,
-             vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
-    """IVF (inverted-file) approximate top-k: vectors are assigned to their
-    nearest coarse centroid (deterministic centroids: the first
-    ``n_centroids`` vectors by key, normalized); queries probe the
-    ``n_probe`` nearest centroids and exact-rank within those lists.
-
-    The scale path for billion-row ANN: one shuffle on centroid id, then a
-    per-list scan of ~n_probe/n_centroids of the data."""
+def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                        iters: int = 2, vec_col: str = "embedding",
+                        key_col: str = "vec_id") -> np.ndarray:
+    """Spherical k-means (Lloyd) for the IVF coarse quantizer. Init =
+    first ``n_centroids`` vectors by key (deterministic); each iteration is
+    ONE mapInPandas pass that assigns a batch to its nearest centroid and
+    emits per-centroid partial sums — (batches x n_centroids) tiny rows to
+    the driver, no shuffle at all. Centroids are re-normalized means.
+    At 10^9 rows an iteration costs one table scan + one BLAS matmul per
+    batch; the driver combine is n_centroids x dim floats."""
     cents_pdf = (embeddings.orderBy(key_col).limit(n_centroids)
                  .select(vec_col).toPandas())
     cents = _normalize(np.array(list(cents_pdf[vec_col]), dtype=np.float64))
+    spark = embeddings.sparkSession
+    dim = cents.shape[1]
+    for _ in range(max(0, iters)):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                m = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+                cid = np.argmax(m @ bc.value.T, axis=1)
+                rows = []
+                for c in np.unique(cid):
+                    sel = m[cid == c]
+                    rows.append((int(c), sel.sum(axis=0).tolist(),
+                                 int(len(sel))))
+                yield pd.DataFrame(rows, columns=["cid", "vsum", "n"])
+
+        parts = embeddings.select(vec_col).mapInPandas(
+            partial, "cid int, vsum array<double>, n long").toPandas()
+        sums = np.zeros((n_centroids, dim))
+        counts = np.zeros(n_centroids)
+        for _, r in parts.iterrows():
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            counts[r["cid"]] += r["n"]
+        # empty clusters keep their previous centroid
+        nonzero = counts > 0
+        cents[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
+    return cents
+
+
+def ivf_topk(embeddings: DataFrame, queries: pd.DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, train_iters: int = 0,
+             vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to their
+    nearest coarse centroid; queries probe the ``n_probe`` nearest
+    centroids and exact-rank within those lists. ``train_iters`` > 0 runs
+    spherical k-means (train_ivf_centroids) on top of the deterministic
+    first-vectors init; with n_probe = n_centroids the result is exact
+    regardless of centroid quality (the oracle's configuration).
+
+    The scale path for billion-row ANN: one shuffle on centroid id, then a
+    per-list scan of ~n_probe/n_centroids of the data."""
+    cents = train_ivf_centroids(embeddings, n_centroids, train_iters,
+                                vec_col, key_col)
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(cents)
 
