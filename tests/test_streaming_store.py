@@ -129,3 +129,57 @@ def test_stateful_running_totals_cross_batch(spark, sf_dir, tmp_path):
     final = {k: max(v) for k, v in per_key.items()}
     assert final == {r[0]: r[1] for r in batch.items()} or \
         final == batch
+
+
+def test_stream_upsert_splice_mode_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming upsert in byte-splice mode (O(appended bytes)/tile) must
+    produce the same decoded tile contents as the batch pipeline."""
+    from vector_tile_go_spark.queries import entities_df
+    from vector_tile_go_spark.sparkops.udfs import decode_tiles
+    from vector_tile_go_spark.store.tilestore import read_tiles
+    from vector_tile_go_spark.streaming.events import stream_upsert_tiles
+
+    e = entities_df(spark, sf_dir).select(
+        "z", "x", "y", "lng", "lat", "doc_id", "mention_idx") \
+        .filter(F.col("doc_id") < 400)
+    src_dir = str(tmp_path / "src")
+    e.repartition(3).write.parquet(src_dir)
+    stream = (spark.readStream.schema(e.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stream_upsert_tiles(stream, store, ckpt, prop_cols=("mention_idx",),
+                        mode="splice").awaitTermination()
+
+    feats = decode_tiles(read_tiles(spark, store), mode="props")
+    got = feats.select(
+        "z", "x", "y", "feature_id",
+        F.col("properties")["mention_idx"].alias("mi")) \
+        .orderBy("z", "x", "y", "feature_id", "mi").toPandas()
+    exp = e.select(
+        "z", "x", "y", F.col("doc_id").cast("long").alias("feature_id"),
+        F.col("mention_idx").cast("string").alias("mi")) \
+        .orderBy("z", "x", "y", "feature_id", "mi").toPandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True))
+
+
+def test_decode_tile_stats_quarantine(spark, sf_dir):
+    """Corrupt tile bytes must become zero-count error rows, not stage
+    failures — and valid tiles in the same batch still count."""
+    import pandas as pd
+    from vector_tile_go_spark.queries import entities_df
+    from vector_tile_go_spark.sparkops.udfs import (decode_tile_stats,
+                                                    encode_point_tiles)
+    e = entities_df(spark, sf_dir).filter(F.col("doc_id") < 200)
+    tiles = encode_point_tiles(e, prop_cols=("url", "mention_idx")).toPandas()
+    # frame claims 5 body bytes, buffer ends mid-varint -> decode raises
+    tiles.loc[tiles.index[0], "tile_pbf"] = b"\x1a\x05\x0a\x84"
+    df = spark.createDataFrame(tiles)
+    out = decode_tile_stats(df, quarantine=True).toPandas()
+    bad = out[out["error"].notna()]
+    good = out[out["error"].isna()]
+    assert len(bad) == 1 and int(bad["n_features"].iloc[0]) == 0
+    assert len(good) == len(tiles) - 1
+    assert (good["n_features"] > 0).all()

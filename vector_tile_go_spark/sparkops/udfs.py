@@ -350,7 +350,8 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
 
 def decode_tile_stats(tiles: DataFrame, layers: list[str] | None = None,
                       distinct_prop: str = "url",
-                      out_col: str = "n_urls") -> DataFrame:
+                      out_col: str = "n_urls",
+                      quarantine: bool = False) -> DataFrame:
     """Fused decode+aggregate: per-tile feature count and distinct values of
     one property, computed INSIDE the decode UDF — ~1 output row per tile
     instead of 1 per feature crossing the python->JVM Arrow boundary.
@@ -367,55 +368,77 @@ def decode_tile_stats(tiles: DataFrame, layers: list[str] | None = None,
     (BASELINE.md §scaling): the contended Arrow return traffic drops by
     ~features-per-tile (10^3x for dense tiles) for queries that only need
     per-tile aggregates. Null property values are excluded from the
-    distinct count (countDistinct semantics)."""
+    distinct count (countDistinct semantics).
+
+    ``quarantine``: corrupt tiles become zero-count rows with ``error``
+    set instead of failing the stage — same isolation contract as
+    ``decode_tiles(quarantine=True)`` (read_tile.go:79-84 at scale)."""
+
+    def tile_counts(buf: bytes) -> tuple[int, int]:
+        from ..codec.decode import bulk_point_layer, decode_feature, parse_tile
+        n = 0
+        vals: set = set()
+        for lf in parse_tile(buf):
+            if layers is not None and lf.name not in layers:
+                continue
+            bulk = bulk_point_layer(lf)
+            if bulk is not None:
+                ids, key_idx, val_idx, _, _, n_props = bulk
+                if (len(ids) and bool((key_idx == key_idx[0]).all())
+                        and bool((key_idx[0] < len(lf.keys)).all())
+                        and bool((val_idx < len(lf.values)).all())):
+                    n += len(ids)
+                    names0 = [lf.keys[k] for k in key_idx[0].tolist()]
+                    if distinct_prop in names0:
+                        j = names0.index(distinct_prop)
+                        varr = np.asarray(lf.values, dtype=object)
+                        # distinct over unique dictionary indices, then map
+                        # to values (robust to foreign tiles with
+                        # duplicated dictionary entries)
+                        for v in varr[np.unique(val_idx[:, j])]:
+                            if v is not None:
+                                vals.add(str(v))
+                    continue
+            for span in lf.feature_spans:
+                f = decode_feature(lf, span, mode="props")
+                if f is None:
+                    continue
+                n += 1
+                v = f.properties.get(distinct_prop)
+                if v is not None:
+                    vals.add(str(v))
+        return n, len(vals)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..codec.decode import bulk_point_layer, decode_feature, parse_tile
         for pdf in batches:
             rows = []
             for z, x, y, buf in zip(pdf["z"], pdf["x"], pdf["y"],
                                     pdf["tile_pbf"]):
                 if buf is None:
                     continue
-                n = 0
-                vals: set = set()
-                for lf in parse_tile(bytes(buf)):
-                    if layers is not None and lf.name not in layers:
+                if quarantine:
+                    try:
+                        n, nv = tile_counts(bytes(buf))
+                    except Exception as e:  # noqa: BLE001 — isolate tile
+                        rows.append((int(z), int(x), int(y), 0, 0,
+                                     f"decode: {e!r}"[:200]))
                         continue
-                    bulk = bulk_point_layer(lf)
-                    if bulk is not None:
-                        ids, key_idx, val_idx, _, _, n_props = bulk
-                        if (len(ids) and bool((key_idx == key_idx[0]).all())
-                                and bool((key_idx[0] < len(lf.keys)).all())
-                                and bool((val_idx < len(lf.values)).all())):
-                            n += len(ids)
-                            names0 = [lf.keys[k] for k in key_idx[0].tolist()]
-                            if distinct_prop in names0:
-                                j = names0.index(distinct_prop)
-                                varr = np.asarray(lf.values, dtype=object)
-                                # distinct over unique dictionary indices,
-                                # then map to values (robust to foreign
-                                # tiles with duplicated dictionary entries)
-                                for v in varr[np.unique(val_idx[:, j])]:
-                                    if v is not None:
-                                        vals.add(str(v))
-                            continue
-                    for span in lf.feature_spans:
-                        f = decode_feature(lf, span, mode="props")
-                        if f is None:
-                            continue
-                        n += 1
-                        v = f.properties.get(distinct_prop)
-                        if v is not None:
-                            vals.add(str(v))
-                if n:
-                    rows.append((int(z), int(x), int(y), n, len(vals)))
+                    if n:
+                        rows.append((int(z), int(x), int(y), n, nv, None))
+                else:
+                    n, nv = tile_counts(bytes(buf))
+                    if n:
+                        rows.append((int(z), int(x), int(y), n, nv))
             if rows:
-                yield pd.DataFrame(rows, columns=["z", "x", "y",
-                                                  "n_features", out_col])
+                cols = ["z", "x", "y", "n_features", out_col]
+                if quarantine:
+                    cols.append("error")
+                yield pd.DataFrame(rows, columns=cols)
 
-    return tiles.mapInPandas(
-        stats, f"z int, x bigint, y bigint, n_features bigint, {out_col} bigint")
+    schema = f"z int, x bigint, y bigint, n_features bigint, {out_col} bigint"
+    if quarantine:
+        schema += ", error string"
+    return tiles.mapInPandas(stats, schema)
 
 
 def encode_geobuf_tiles(entities: DataFrame,

@@ -118,11 +118,17 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
 
 def stream_upsert_tiles(entity_stream: DataFrame, store_path: str,
                         checkpoint_path: str, layer_name: str = "geo",
-                        prop_cols: tuple[str, ...] = ("mention_idx",)):
+                        prop_cols: tuple[str, ...] = ("mention_idx",),
+                        mode: str = "reencode"):
     """foreachBatch tile maintenance: merge each micro-batch of entities
     (z, x, y, lng, lat, doc_id, props...) into the parquet tile store.
     Exactly-once per batch via the streaming checkpoint + full-snapshot
-    store rewrite (an Iceberg MERGE INTO in production)."""
+    store rewrite (an Iceberg MERGE INTO in production).
+
+    ``mode="splice"`` uses the byte-splice lazy append
+    (AddFeaturesToLayer parity) — the right choice for the streaming shape,
+    where each micro-batch appends a few features into many large tiles:
+    O(appended bytes) instead of O(tile bytes) per touched tile."""
     from ..sparkops.compositing import upsert_features
     from ..sparkops.udfs import encode_point_tiles
     from ..store.tilestore import read_tiles, write_tiles
@@ -135,7 +141,7 @@ def stream_upsert_tiles(entity_stream: DataFrame, store_path: str,
                                        prop_cols=prop_cols)
         else:
             tiles = upsert_features(existing, batch_df, layer_name=layer_name,
-                                    prop_cols=prop_cols)
+                                    prop_cols=prop_cols, mode=mode)
         write_tiles(tiles, store_path, snapshot_meta={"batch_id": batch_id})
 
     return (entity_stream.writeStream
