@@ -73,3 +73,46 @@ def test_decode_unknown_geom_type_tolerated():
     assert f.geom_type == 7
     assert f.geojson_type == ""
     assert int(f.xs[0]) == 4 and int(f.ys[0]) == 1
+
+
+def test_decode_foreign_field_order():
+    """Foreign encoders may emit feature/layer fields in any protobuf
+    order (geometry before tags, id last, extent before name). The walk
+    decoder must produce identical features to the canonical layout —
+    and the bulk fast path must decline, not mis-parse."""
+    from vector_tile_go_spark.codec.decode import (bulk_point_layer,
+                                                   decode_tile, parse_tile)
+    from vector_tile_go_spark.codec.wire import encode_varint
+
+    # canonical: id, tags, type, geometry
+    canon_feat = bytes([8, 7]) + bytes([18, 2, 0, 0]) \
+        + bytes([24, 1]) + bytes([34, 3, 9, 8, 2])
+    # foreign: geometry, type, tags, id
+    foreign_feat = bytes([34, 3, 9, 8, 2]) + bytes([24, 1]) \
+        + bytes([18, 2, 0, 0]) + bytes([8, 7])
+
+    def layer(feat, name_first=True):
+        key = bytes([26, 1]) + b"k"
+        val = bytes([34, 3, 10, 1, 118])  # Value{string "v"}
+        name = bytes([10, 3]) + b"geo"
+        ext = bytes([40, 128, 32])
+        ver = bytes([120, 2])
+        if name_first:
+            body = ver + name + bytes([18, len(feat)]) + feat + key + val + ext
+        else:  # extent and dictionaries BEFORE the name and features
+            body = ext + key + val + bytes([18, len(feat)]) + feat + name + ver
+        return bytes([26, len(body)]) + body
+
+    outs = []
+    for feat, name_first in [(canon_feat, True), (foreign_feat, True),
+                             (canon_feat, False), (foreign_feat, False)]:
+        buf = layer(feat, name_first)
+        (lname, f), = decode_tile(buf, 0, 0, 0, mode="int")
+        assert lname == "geo"
+        outs.append((f.feature_id, dict(f.properties),
+                     int(f.xs[0]), int(f.ys[0])))
+    assert all(o == (7, {"k": "v"}, 4, 1) for o in outs), outs
+
+    # bulk path: canonical layout qualifies, foreign layout falls back
+    assert bulk_point_layer(parse_tile(layer(canon_feat, True))[0]) is not None
+    assert bulk_point_layer(parse_tile(layer(foreign_feat, True))[0]) is None
