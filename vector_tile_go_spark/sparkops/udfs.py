@@ -99,23 +99,116 @@ def _encode_sorted_batches(batches: Iterator[pd.DataFrame], layer_name: str,
                            np.array([len(pending)]))
 
 
+def _encode_sorted_batches_arrow(batches, layer_name: str,
+                                 prop_cols: tuple[str, ...], extent: int,
+                                 id_col: str):
+    """Arrow-native variant of _encode_sorted_batches (mapInArrow): columns
+    go pyarrow -> numpy with zero-copy where the type allows, and the
+    output RecordBatch is built directly — no pandas DataFrame
+    materialization on either side of the boundary. Same streaming
+    group-carry protocol; byte-identical tiles."""
+    import pyarrow as pa
+
+    from ..codec.encode_fast import encode_point_tiles_bulk
+
+    group_cols = ["z", "x", "y"]
+    first = True
+    has_salt = False
+    pending: dict[str, np.ndarray] | None = None
+    out_schema = None
+
+    def to_np(rb: "pa.RecordBatch") -> dict[str, np.ndarray]:
+        cols = {}
+        for name in rb.schema.names:
+            col = rb.column(rb.schema.get_field_index(name))
+            if name in prop_cols and not pa.types.is_string(col.type):
+                # non-string props: python-str formatting parity with the
+                # pandas path's astype(str)
+                cols[name] = pd.Series(
+                    col.to_numpy(zero_copy_only=False)).astype(str).to_numpy()
+            else:
+                cols[name] = col.to_numpy(zero_copy_only=False)
+        return cols
+
+    def encode_arrays(arrs: dict[str, np.ndarray], starts, ends):
+        props = {c: arrs[c] for c in prop_cols}
+        bufs = encode_point_tiles_bulk(
+            arrs["z"], arrs["x"], arrs["y"], arrs["lng"], arrs["lat"],
+            np.asarray(arrs[id_col], dtype=np.int64), props, starts, ends,
+            layer_name, extent)
+        n = len(starts)
+        data = [
+            pa.array(np.asarray(arrs["z"])[starts], type=pa.int32()),
+            pa.array(np.asarray(arrs["x"])[starts], type=pa.int64()),
+            pa.array(np.asarray(arrs["y"])[starts], type=pa.int64()),
+            pa.array([layer_name] * n, type=pa.string()),
+            pa.array(bufs, type=pa.binary()),
+            pa.array((np.asarray(ends) - np.asarray(starts)).astype("int32"),
+                     type=pa.int32()),
+        ]
+        names = ["z", "x", "y", "layer", "tile_pbf", "n_features"]
+        if has_salt:
+            data.append(pa.array(np.asarray(arrs["salt"])[starts],
+                                 type=pa.int32()))
+            names.append("salt")
+        return pa.RecordBatch.from_arrays(data, names=names)
+
+    for rb in batches:
+        if first:
+            first = False
+            has_salt = "salt" in rb.schema.names
+            if has_salt:
+                group_cols = ["z", "x", "y", "salt"]
+        arrs = to_np(rb)
+        if pending is not None:
+            arrs = {k: np.concatenate([pending[k], arrs[k]])
+                    for k in arrs}
+            pending = None
+        m = len(arrs["z"])
+        if not m:
+            continue
+        change = np.zeros(m - 1, dtype=bool)
+        for c in group_cols:
+            v = arrs[c]
+            change |= v[1:] != v[:-1]
+        boundaries = np.flatnonzero(change) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [m]])
+        if len(starts) > 1:
+            yield encode_arrays(arrs, starts[:-1], ends[:-1])
+        pending = {k: v[starts[-1]:] for k, v in arrs.items()}
+    if pending is not None and len(pending["z"]):
+        yield encode_arrays(pending, np.array([0]),
+                            np.array([len(pending["z"])]))
+
+
 def encode_point_tiles(entities: DataFrame, layer_name: str = "geo",
                        prop_cols: tuple[str, ...] = ("url", "mention_idx"),
                        extent: int = 4096, n_partitions: int | None = None,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       use_arrow: bool = True) -> DataFrame:
     """(z, x, y, lng, lat, <id_col>, props...) -> one MVT layer per tile.
 
     Plan: one shuffle — repartition on the tile key + sortWithinPartitions
-    (z, x, y, id, props) — then a single streaming mapInPandas that encodes
-    every tile of the partition (deterministic feature order from the sort).
-    This is the reference's EP3 boundary (SURVEY.md §3) with the per-group
-    UDF overhead amortized across whole Arrow batches."""
+    (z, x, y, id, props) — then a single streaming map-batch UDF that
+    encodes every tile of the partition (deterministic feature order from
+    the sort). This is the reference's EP3 boundary (SURVEY.md §3) with
+    the per-group UDF overhead amortized across whole Arrow batches.
+    ``use_arrow`` routes through mapInArrow (no pandas materialization at
+    the boundary — the zero-copy path of SURVEY §2.10); tiles are
+    byte-identical either way."""
     cols = ["z", "x", "y", "lng", "lat", id_col, *prop_cols]
     df = entities.select(*cols)
     if n_partitions is None:
         n_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
     df = (df.repartition(n_partitions, "z", "x", "y")
           .sortWithinPartitions("z", "x", "y", id_col, *prop_cols))
+
+    if use_arrow:
+        def run_arrow(batches):
+            return _encode_sorted_batches_arrow(batches, layer_name,
+                                                prop_cols, extent, id_col)
+        return df.mapInArrow(run_arrow, TILE_SCHEMA)
 
     def run(batches):
         return _encode_sorted_batches(batches, layer_name, prop_cols, extent,
@@ -142,10 +235,10 @@ def encode_point_tiles_salted(entities: DataFrame, layer_name: str = "geo",
           .sortWithinPartitions("z", "x", "y", "salt", id_col, *prop_cols))
 
     def run(batches):
-        return _encode_sorted_batches(batches, layer_name, prop_cols, 4096,
-                                      id_col)
+        return _encode_sorted_batches_arrow(batches, layer_name, prop_cols,
+                                            4096, id_col)
 
-    partials = df.mapInPandas(
+    partials = df.mapInArrow(
         run, TILE_SCHEMA + ", salt int").drop("layer")
     # per-tile binary concat of the (few) partials, ordered by salt for
     # determinism; this is the O(1) compositing union — no re-encode.
