@@ -822,6 +822,80 @@ def q_reduce_multipoint(spark, sf_dir):
     return s.select("z", "x", "y", "n_features")
 
 
+def q_pyramid_cascade(spark, sf_dir):
+    """Multi-level overzoom pyramid (the Reduce_Config purpose,
+    feature_reduce.go:13-39, applied level-by-level): quantized z12 points
+    cascade down z11 -> z8; at each level one representative (min global
+    grid coord) survives per (tile, level+8 subcell) and feeds the next
+    level — the standard pyramid-build where each zoom reduces the
+    survivors of the zoom below. All arithmetic on the exact global z24
+    integer grid, so the oracle replays it with integer shifts. Output:
+    per-level per-tile kept counts."""
+    from .sparkops.udfs import decode_tile_vertices, encode_point_tiles
+    e = entities_df(spark, sf_dir)
+    tiles = encode_point_tiles(e, layer_name="geo", prop_cols=())
+    v = decode_tile_vertices(tiles)
+    pts = (v.select(
+        (F.col("x") * 4096 + F.least(F.greatest(F.col("ix"), F.lit(0)),
+                                     F.lit(4096))).alias("gx"),
+        (F.col("y") * 4096 + F.least(F.greatest(F.col("iy"), F.lit(0)),
+                                     F.lit(4096))).alias("gy"))
+           .distinct())
+    # survivor key packs (gx, gy) into one int64 — min over it is the
+    # lexicographic (gx, gy) representative, identical in DuckDB
+    key = (F.col("gx") * F.lit(1 << 25) + F.col("gy")).alias("k")
+    out = None
+    survivors = pts
+    for level in range(11, 7, -1):
+        tshift, sshift = 24 - level, 16 - level
+        d = (survivors
+             .withColumn("tx", F.shiftrightunsigned("gx", tshift))
+             .withColumn("ty", F.shiftrightunsigned("gy", tshift))
+             .withColumn("sx", F.shiftrightunsigned("gx", sshift))
+             .withColumn("sy", F.shiftrightunsigned("gy", sshift)))
+        reps = (d.groupBy("tx", "ty", "sx", "sy")
+                .agg(F.min(key).alias("k")))
+        survivors = reps.select(
+            F.shiftrightunsigned("k", 25).alias("gx"),
+            (F.col("k") % F.lit(1 << 25)).alias("gy"))
+        lvl = (reps.groupBy("tx", "ty")
+               .agg(F.count("*").alias("n_kept"))
+               .select(F.lit(level).alias("z"), F.col("tx").alias("x"),
+                       F.col("ty").alias("y"), "n_kept"))
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
+def _pyramid_cascade_oracle() -> str:
+    """Same cascade with nested CTEs over the exact quantized grid."""
+    qix, qiy = geo.sql_tile_int_xy(ZOOM, "x", "y", "lng", "lat")
+    tx, ty = geo.sql_tile_xy(ZOOM)
+    ctes = [geo.sql_mentions_cte(), f"""
+tiled AS (SELECT m.*, {ZOOM} AS z, {tx} AS x, {ty} AS y FROM mentions m)""",
+            f"""
+q AS (SELECT DISTINCT
+      x * 4096 + LEAST(GREATEST({qix}, 0), 4096) AS gx,
+      y * 4096 + LEAST(GREATEST({qiy}, 0), 4096) AS gy
+      FROM tiled)"""]
+    prev = "q"
+    selects = []
+    for level in range(11, 7, -1):
+        t, s = 24 - level, 16 - level
+        ctes.append(f"""
+c{level} AS (SELECT gx // {1 << t} AS tx, gy // {1 << t} AS ty,
+       gx // {1 << s} AS sx, gy // {1 << s} AS sy,
+       MIN(gx * {1 << 25} + gy) AS k
+       FROM {prev} GROUP BY 1, 2, 3, 4),
+s{level} AS (SELECT k // {1 << 25} AS gx, k % {1 << 25} AS gy
+             FROM c{level})""")
+        prev = f"s{level}"
+        selects.append(
+            f"SELECT {level} AS z, tx AS x, ty AS y, COUNT(*) AS n_kept "
+            f"FROM c{level} GROUP BY tx, ty")
+    return ("WITH " + ",".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN (similarity/ann.py): coarse-centroid inverted lists, one
     shuffle on centroid id. Probed at n_probe = n_centroids here so recall
@@ -933,6 +1007,7 @@ QUERIES = {
     "typed_values": q_typed_values,
     "reduce_bbox_cull": q_reduce_bbox_cull,
     "reduce_multipoint": q_reduce_multipoint,
+    "pyramid_cascade": q_pyramid_cascade,
 }
 
 _SHINGLES_CTE = """
@@ -1166,6 +1241,7 @@ FROM documents""",
             zoom=ZOOM),
         "overzoom_pyramid": _overzoom_oracle(),
         "reduce_multipoint": _multipoint_reduce_oracle(),
+        "pyramid_cascade": _pyramid_cascade_oracle(),
         "tile_dict_stats": _mentions_oracle(
             # url <-> doc_id is a bijection, so distinct url values == distinct
             # doc_ids; value dictionary = urls + mention_idx strings
