@@ -87,3 +87,21 @@ def test_tile_stats_lazy_scan(spark, sf_dir):
     assert (s["n_keys"] == 2).all()
     assert (s["extent"] == 4096).all()
     assert (s["version"] == 2).all()
+
+
+def test_encode_arrow_pandas_byte_parity(spark, sf_dir):
+    """The mapInArrow encode boundary must produce byte-identical tiles to
+    the mapInPandas path (same kernel, same group slicing) — including the
+    salted multi-frame variant's partials."""
+    from pyspark.sql import functions as F
+    from vector_tile_go_spark.queries import entities_df
+    from vector_tile_go_spark.sparkops.udfs import encode_point_tiles
+
+    e = entities_df(spark, sf_dir).filter(F.col("doc_id") < 500)
+    a = encode_point_tiles(e, prop_cols=("url", "mention_idx"),
+                           use_arrow=True)
+    p = encode_point_tiles(e, prop_cols=("url", "mention_idx"),
+                           use_arrow=False)
+    am = {(r["z"], r["x"], r["y"]): bytes(r["tile_pbf"]) for r in a.collect()}
+    pm = {(r["z"], r["x"], r["y"]): bytes(r["tile_pbf"]) for r in p.collect()}
+    assert am == pm and len(am) > 0
