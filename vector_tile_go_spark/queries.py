@@ -271,6 +271,20 @@ def q_events_windows(spark, sf_dir):
                     "event_type", "n_events", "total_value"))
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding windows (SURVEY.md §2.9): 10-minute windows every 5 minutes
+    — each event lands in exactly two overlapping windows. The oracle
+    replays the assignment with an unnest over the {0, 300} slide
+    offsets."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                    "event_type", "n_events", "total_value"))
+
+
 def q_events_stream_windows(spark, sf_dir):
     """The *streaming* twin of events_windows: a real Structured Streaming
     query (file source -> watermark -> tumbling window agg -> memory sink)
@@ -968,6 +982,7 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "shipping_priority": q_shipping_priority,
     "events_windows": q_events_windows,
+    "events_sliding": q_events_sliding,
     "events_stream_windows": q_events_stream_windows,
     "events_stateful_totals": q_events_stateful_totals,
     "events_sessions": q_events_sessions,
@@ -1290,6 +1305,11 @@ LIMIT 10""",
 SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start,
        event_type, COUNT(*) AS n_events, SUM(value) AS total_value
 FROM events GROUP BY 1, 2""",
+        "events_sliding": """
+SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 300) * 300 - g.k AS window_start,
+       event_type, COUNT(*) AS n_events, SUM(value) AS total_value
+FROM events, (SELECT unnest([0, 300]) AS k) g
+GROUP BY 1, 2""",
         "events_sessions": """
 WITH o AS (SELECT user_id, epoch(ts) AS e,
            LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pe

@@ -113,6 +113,23 @@ def resume_info(path: str) -> dict | None:
     return manifest
 
 
+def write_tiles_bucketed(tiles: DataFrame, table_name: str,
+                         n_buckets: int = 16) -> None:
+    """Bucketed tile table (bucketBy + sortBy on the tile key, saveAsTable):
+    any later join/agg between tables bucketed the same way on (z, x, y)
+    reads co-partitioned, pre-sorted buckets with NO shuffle exchange —
+    the cross-job co-location lever for 100 TB tile tables (compositing
+    two tile sets, upserting a delta, joining tiles to per-tile stats).
+    On a cluster the same call targets the metastore/Iceberg catalog;
+    bucket count should scale with table size (buckets ~ table_bytes /
+    target_split)."""
+    (tiles.write.mode("overwrite")
+     .bucketBy(n_buckets, "z", "x", "y")
+     .sortBy("z", "x", "y")
+     .format("parquet")
+     .saveAsTable(table_name))
+
+
 def write_tiles_iceberg(tiles: DataFrame, table: str) -> None:
     """Iceberg-backed variant of write_tiles: append the tile batch to an
     Iceberg table (snapshot, manifests, and time travel come from Iceberg
