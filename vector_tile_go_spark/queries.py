@@ -351,6 +351,22 @@ def q_pip_join(spark, sf_dir):
                  F.countDistinct("doc_id").alias("n_docs")))
 
 
+def q_hex_pip(spark, sf_dir):
+    """Point-in-polygon join re-based on the hex cell index: hex-cover
+    equi-join prefilter (hexgrid.hex_cover_cells) + the same exact
+    ray-cast refine — same oracle as pip_join, proving the H3-style grid
+    carries the join."""
+    from .spatial.pip import pip_join_hex
+    from .spatial.polygons import triangles_df
+    e = extract_geo_entities(build_pages(spark, sf_dir))
+    tri = triangles_df(spark, sf_dir)
+    pairs = pip_join_hex(e.select("lat", "lng", "doc_id", "mention_idx"), tri,
+                         point_cols=("doc_id", "mention_idx"))
+    return (pairs.groupBy("n_nationkey")
+            .agg(F.count("*").alias("n_inside"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
 def q_knn(spark, sf_dir):
     """Exact cell-ring kNN (spatial/knn.py): 5 nearest mentions per nation
     query point via escalating grid-ring joins with a completeness
@@ -991,6 +1007,7 @@ QUERIES = {
     "knn": q_knn,
     "hex_rollup": q_hex_rollup,
     "hex_knn": q_hex_knn,
+    "hex_pip": q_hex_pip,
     "raster_occupancy": q_raster_occupancy,
     "raster_vector_roundtrip": q_raster_vector_roundtrip,
     "compositing": q_compositing,
@@ -1210,6 +1227,13 @@ FROM documents""",
             "  FROM qpts q CROSS JOIN mentions m) WHERE rank <= 5",
             extra_cte=",\n" + polygons.sql_query_points_cte()),
         "hex_rollup": _hex_rollup_oracle(),
+        "hex_pip": _mentions_oracle(
+            "SELECT t.n_nationkey, COUNT(*) AS n_inside, "
+            "COUNT(DISTINCT m.doc_id) AS n_docs "
+            "FROM mentions m JOIN triangles t ON "
+            + polygons.sql_pip_predicate("m.lng", "m.lat")
+            + " GROUP BY t.n_nationkey",
+            extra_cte=",\n" + polygons.sql_triangles_cte()),
         "hex_knn": _mentions_oracle(
             "SELECT qid, rank, doc_id, j, dist2 FROM ("
             "  SELECT q.qid, m.doc_id, m.j, "

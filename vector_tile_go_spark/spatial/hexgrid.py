@@ -84,6 +84,33 @@ def hex_disk(df: DataFrame, hq: str, hr: str, radius: int,
             .drop("__dq", "__dr"))
 
 
+def hex_cover_cells(df: DataFrame, size: float = DEFAULT_SIZE,
+                    west: str = "west", south: str = "south",
+                    east: str = "east", north: str = "north",
+                    out_q: str = "hq", out_r: str = "hr") -> DataFrame:
+    """Explode each bbox row into the hex cells covering it — the hex twin
+    of cells.cover_cells, used as the PIP equi-join prefilter. Rigorous
+    superset: a point inside the bbox sits within circumradius ``size`` of
+    its cell center, so centers of all relevant cells lie in the bbox
+    expanded by ``size``; hr is linear in lat and fq linear in (lng, lat),
+    so their extremes over the expanded bbox are at its corners (+1 cell
+    float margin). The refine step discards the excess."""
+    w = F.col(west) - F.lit(size)
+    e = F.col(east) + F.lit(size)
+    s = F.col(south) - F.lit(size)
+    n = F.col(north) + F.lit(size)
+
+    def fq(lng, lat):
+        return (F.lit(SQRT3 / 3.0) * lng - lat / F.lit(3.0)) / F.lit(size)
+
+    r_lo = (F.floor(F.lit(2.0 / 3.0) * s / F.lit(size)) - 1).cast("long")
+    r_hi = (F.floor(F.lit(2.0 / 3.0) * n / F.lit(size)) + 1).cast("long")
+    q_lo = (F.floor(F.least(fq(w, s), fq(w, n))) - 1).cast("long")
+    q_hi = (F.floor(F.greatest(fq(e, s), fq(e, n))) + 1).cast("long")
+    return (df.withColumn(out_r, F.explode(F.sequence(r_lo, r_hi)))
+            .withColumn(out_q, F.explode(F.sequence(q_lo, q_hi))))
+
+
 def sql_hex_cell(lat_expr: str = "lat", lng_expr: str = "lng",
                  size: float = DEFAULT_SIZE) -> tuple[str, str]:
     """DuckDB oracle twin of hex_cell_cols — identical op order, FLOOR(v +

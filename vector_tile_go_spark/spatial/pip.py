@@ -82,3 +82,42 @@ def pip_join(points: DataFrame, polygons: DataFrame,
             yield kept[[poly_key, *point_cols, "lat", "lng"]]
 
     return cand.mapInPandas(refine, out_schema)
+
+
+def pip_join_hex(points: DataFrame, polygons: DataFrame,
+                 point_cols: tuple[str, ...] = ("doc_id",),
+                 poly_key: str = "n_nationkey",
+                 size: float | None = None) -> DataFrame:
+    """pip_join re-based on the hex cell index (hexgrid.hex_cover_cells):
+    same two-phase plan — hex-cover equi-join prefilter, exact ray-cast
+    refine — exercising the north rule's H3-style grid as the join index.
+    Identical output to pip_join (the refine is exact either way)."""
+    from . import hexgrid
+    if size is None:
+        size = hexgrid.DEFAULT_SIZE
+    pts = points.select("lat", "lng", *point_cols)
+    hq, hr = hexgrid.hex_cell_cols(F.col("lat"), F.col("lng"), size)
+    pts = pts.withColumn("hq", hq).withColumn("hr", hr)
+    cov = hexgrid.hex_cover_cells(polygons, size)
+    cand = pts.join(F.broadcast(cov), ["hq", "hr"])
+
+    out_schema = ", ".join(
+        [f"{poly_key} bigint"] +
+        [f"{c} bigint" for c in point_cols] + ["lat double", "lng double"])
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf["lng"].to_numpy()
+            py = pdf["lat"].to_numpy()
+            for key, idx in pdf.groupby(poly_key).groups.items():
+                loc = pdf.index.get_indexer(idx)
+                xs = np.asarray(pdf["xs"].iloc[loc[0]], dtype=np.float64)
+                ys = np.asarray(pdf["ys"].iloc[loc[0]], dtype=np.float64)
+                keep[loc] = raycast_inside(px[loc], py[loc], [xs], [ys])
+            kept = pdf.loc[keep]
+            yield kept[[poly_key, *point_cols, "lat", "lng"]]
+
+    return cand.mapInPandas(refine, out_schema)
