@@ -165,3 +165,28 @@ def test_ivf_kmeans_training_improves_quantizer(spark, sf_dir):
     ivf = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8,
                    train_iters=2).orderBy("qid", "rank").collect()
     assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]
+
+
+def test_simhash_multitable_exact(spark, docs):
+    """Multi-table SimHash (2 x 60-bit signatures, hamming <= 4 over the
+    120-bit concatenation) must be EXACT: identical to brute-force
+    all-pairs hamming over the two signature tables."""
+    from vector_tile_go_spark.text.dedup import simhash, simhash_pairs_multitable
+
+    d = docs.limit(150)
+    got = simhash_pairs_multitable(d, max_hamming=4, bits=60, n_tables=2) \
+        .orderBy("da", "db").toPandas()
+    s0 = simhash(d, bits=60, seed=0, out_col="s").toPandas() \
+        .set_index("doc_id")["s"]
+    s1 = simhash(d, bits=60, seed=1, out_col="s").toPandas() \
+        .set_index("doc_id")["s"]
+    ids = sorted(s0.index)
+    want = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            ham = (int(np.uint64(s0[a]) ^ np.uint64(s0[b])).bit_count()
+                   + int(np.uint64(s1[a]) ^ np.uint64(s1[b])).bit_count())
+            if ham <= 4:
+                want.append((a, b, ham))
+    assert list(map(tuple, got.values)) == sorted(want)

@@ -200,10 +200,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            key_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+            key_col: str = "doc_id", bits: int = SIMHASH_BITS,
+            seed: int = 0, out_col: str = "simhash") -> DataFrame:
     """``bits``-bit SimHash over word unigrams (bits <= 60, the width of the
     md5-derived h60): bit b set iff the sum of (+1 if bit b of h(token) else
-    -1) over distinct tokens is positive.
+    -1) over distinct tokens is positive. ``seed`` selects an independent
+    hash family (multi-table signatures wider than 60 bits).
 
     One aggregation with ``bits`` vote columns — the naive (key, bit) layout
     explodes rows bits-x and needs two more shuffles for identical math."""
@@ -212,7 +214,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
     toks = (docs.select(key_col, F.explode(F.split(F.col(text_col), " "))
                         .alias("tok"))
             .filter(F.col("tok") != "").distinct()
-            .withColumn("h", _h60(F.col("tok"), F.lit(0))))
+            .withColumn("h", _h60(F.col("tok"), F.lit(seed))))
     aggs = [F.sum(F.expr(
         f"CASE WHEN (shiftrightunsigned(h, {b}) & 1) = 1 "
         "THEN 1 ELSE -1 END")).alias(f"v{b}")
@@ -224,7 +226,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
     total = bitvals[0]
     for bv in bitvals[1:]:
         total = total + bv
-    return w.select(key_col, total.alias("simhash"))
+    return w.select(key_col, total.alias(out_col))
 
 
 def simhash_chunk_bits(n_docs: int, max_hamming: int = 3,
@@ -260,6 +262,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     # a valid pigeonhole cover of the bit range
     mask = (1 << width) - 1
     sh = simhash(docs, text_col, key_col, bits=bits).cache()
+    return _chunk_join_pairs(sh, n_chunks, width, mask, max_hamming)
+
+
+def _chunk_join_pairs(sh: DataFrame, n_chunks: int, width: int, mask: int,
+                      max_hamming: int) -> DataFrame:
     chunks = (sh.withColumn("chunk", F.explode(
         F.sequence(F.lit(0), F.lit(n_chunks - 1))))
         .withColumn("ck", F.expr(
@@ -272,5 +279,53 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     return (cand
             .withColumn("hamming", F.bit_count(
                 F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("da", "db", "hamming"))
+
+
+def simhash_pairs_multitable(docs: DataFrame, max_hamming: int = 4,
+                             bits: int = 60, n_tables: int = 2,
+                             text_col: str = "text",
+                             key_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs over an EFFECTIVE ``n_tables * bits``-bit
+    signature (independent seed per table) — the web-scale configuration
+    simhash_chunk_bits points at when one 60-bit hash can't give wide
+    enough chunks. EXACT by double pigeonhole: total hamming <= h over
+    n_tables tables implies some table has hamming <= floor(h/n_tables),
+    and that table's (floor(h/n_tables)+1)-chunk cover surfaces the pair.
+    Candidates = union of per-table chunk joins; verify = sum of per-table
+    bit_count(xor) <= h. Returns (da, db, hamming) with hamming over the
+    concatenated signature."""
+    per_h = max_hamming // n_tables
+    n_chunks = per_h + 1
+    width = -(-bits // n_chunks)
+    mask = (1 << width) - 1
+    wide = None
+    for t in range(n_tables):
+        s = simhash(docs, text_col, key_col, bits=bits, seed=t,
+                    out_col=f"s{t}")
+        wide = s if wide is None else wide.join(s, key_col)
+    wide = wide.cache()
+    cand = None
+    for t in range(n_tables):
+        chunks = (wide.select(key_col, f"s{t}")
+                  .withColumn("chunk", F.explode(
+                      F.sequence(F.lit(0), F.lit(n_chunks - 1))))
+                  .withColumn("ck", F.expr(
+                      f"shiftrightunsigned(s{t}, chunk * {width}) & {mask}")))
+        ca = chunks.select(F.col(key_col).alias("da"), "chunk", "ck")
+        cb = chunks.select(F.col(key_col).alias("db"), "chunk", "ck")
+        c = (ca.join(cb, ["chunk", "ck"])
+             .filter(F.col("da") < F.col("db")).select("da", "db"))
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    wa = wide.toDF("da", *[f"a{t}" for t in range(n_tables)])
+    wb = wide.toDF("db", *[f"b{t}" for t in range(n_tables)])
+    joined = cand.join(wa, "da").join(wb, "db")
+    ham = None
+    for t in range(n_tables):
+        h = F.bit_count(F.col(f"a{t}").bitwiseXOR(F.col(f"b{t}")))
+        ham = h if ham is None else ham + h
+    return (joined.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("da", "db", "hamming"))
