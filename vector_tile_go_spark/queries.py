@@ -557,6 +557,42 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(d, max_hamming=3)
 
 
+def q_simhash_multitable(spark, sf_dir):
+    """Multi-table SimHash near-dup (text/dedup.py): two independent
+    60-bit signatures, hamming <= 4 over the 120-bit concatenation, exact
+    via double pigeonhole — the configuration simhash_chunk_bits calls for
+    past one hash's width. Oracle: brute-force over both signature
+    tables."""
+    from .text.dedup import simhash_pairs_multitable
+    d = load_documents(spark, sf_dir)
+    return simhash_pairs_multitable(d, max_hamming=4, bits=60, n_tables=2)
+
+
+def _simhash_multitable_oracle() -> str:
+    def table(seed: int) -> str:
+        return f"""
+h{seed} AS (SELECT doc_id, CAST(('0x' || substr(md5('{seed}|' || t), 1, 15))
+            AS BIGINT) AS h FROM toksd),
+bits{seed} AS (SELECT doc_id, b.b,
+       SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       FROM h{seed}, (SELECT unnest(range(0, 60)) AS b) b
+       GROUP BY doc_id, b.b),
+sims{seed} AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0
+       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS s
+       FROM bits{seed} GROUP BY doc_id)"""
+
+    return f"""
+WITH toksd AS (SELECT DISTINCT doc_id, t FROM
+  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),{table(0)},{table(1)},
+s AS (SELECT s0.doc_id, s0.s AS s0v, s1.s AS s1v
+      FROM sims0 s0 JOIN sims1 s1 USING (doc_id))
+SELECT a.doc_id da, b.doc_id db,
+       bit_count(xor(a.s0v, b.s0v)) + bit_count(xor(a.s1v, b.s1v)) AS hamming
+FROM s a, s b WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.s0v, b.s0v)) + bit_count(xor(a.s1v, b.s1v)) <= 4"""
+
+
 def q_text_stats(spark, sf_dir):
     from .text.analysis import text_stats
     return text_stats(load_documents(spark, sf_dir))
@@ -1019,6 +1055,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
+    "simhash_multitable": q_simhash_multitable,
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -1123,6 +1160,7 @@ inter AS (SELECT c.da, c.db, COUNT(*) AS n_common
 SELECT da, db, n_common, sa.sz + sb.sz - n_common AS n_union
 FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
 WHERE n_common >= 0.3 * (sa.sz + sb.sz - n_common)""",
+        "simhash_multitable": _simhash_multitable_oracle(),
         "simhash_pairs": """
 WITH toksd AS (SELECT DISTINCT doc_id, t FROM
   (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''),
