@@ -183,3 +183,56 @@ def test_decode_tile_stats_quarantine(spark, sf_dir):
     assert len(bad) == 1 and int(bad["n_features"].iloc[0]) == 0
     assert len(good) == len(tiles) - 1
     assert (good["n_features"] > 0).all()
+
+
+def test_tilestore_time_travel(spark, sf_dir, tmp_path):
+    """read_tiles(snapshot_id=...) reads a historical snapshot verbatim
+    (Iceberg VERSION AS OF over the snapshot chain)."""
+    from vector_tile_go_spark.queries import entities_df
+    from vector_tile_go_spark.sparkops.udfs import encode_point_tiles
+    from vector_tile_go_spark.store.tilestore import (read_tiles,
+                                                      resume_info,
+                                                      write_tiles)
+    store = str(tmp_path / "tt")
+    e = entities_df(spark, sf_dir)
+    s1 = write_tiles(encode_point_tiles(e.filter(F.col("doc_id") < 200),
+                                        prop_cols=("mention_idx",)), store)
+    n1 = read_tiles(spark, store).count()
+    s2 = write_tiles(encode_point_tiles(e, prop_cols=("mention_idx",)), store)
+    assert read_tiles(spark, store).count() > n1          # CURRENT = s2
+    assert read_tiles(spark, store, snapshot_id=s1).count() == n1
+    assert resume_info(store)["lineage"] == [s2, s1]
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        read_tiles(spark, store, snapshot_id="nope")
+
+
+def test_salted_encode_hot_tile(spark, sf_dir):
+    """Explicit skew case: thousands of points in ONE tile; the salted
+    encode spreads them over n_salts partial layers and the concat tile
+    still decodes to the exact feature set."""
+    import pandas as pd
+    from vector_tile_go_spark import tilemath as tm
+    from vector_tile_go_spark.codec.decode import parse_tile
+    from vector_tile_go_spark.sparkops.udfs import (decode_tile_stats,
+                                                    encode_point_tiles_salted)
+    z, x, y = 12, 701, 1635
+    w, s, e, n = tm.tile_bounds(z, x, y)
+    N = 5000
+    pdf = pd.DataFrame({
+        "z": z, "x": x, "y": y,
+        "lng": [w + (e - w) * (i % 100) / 100 + 1e-5 for i in range(N)],
+        "lat": [s + (n - s) * (i // 100) / 50 * 0.5 + 1e-5 for i in range(N)],
+        "doc_id": range(1, N + 1),
+        "url": [f"u{i % 97}" for i in range(N)],
+        "mention_idx": [str(i % 3) for i in range(N)]})
+    tiles = encode_point_tiles_salted(spark.createDataFrame(pdf),
+                                      n_salts=8,
+                                      prop_cols=("url", "mention_idx"))
+    rows = tiles.collect()
+    assert len(rows) == 1
+    frames = parse_tile(bytes(rows[0]["tile_pbf"]))
+    assert len(frames) > 1          # really spread over partial layers
+    assert sum(len(f.feature_spans) for f in frames) == N
+    stats = decode_tile_stats(tiles).first()
+    assert stats["n_features"] == N and stats["n_urls"] == 97

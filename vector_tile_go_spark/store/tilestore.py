@@ -81,12 +81,18 @@ def write_tiles(tiles: DataFrame, path: str, snapshot_meta: dict | None = None,
     return snap_id
 
 
-def read_tiles(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read the committed snapshot (None if the store is empty)."""
-    snap = current_snapshot(path)
+def read_tiles(spark: SparkSession, path: str,
+               snapshot_id: str | None = None) -> DataFrame | None:
+    """Read the committed snapshot (None if the store is empty).
+    ``snapshot_id`` reads a specific historical snapshot instead — time
+    travel over the snapshot chain (Iceberg's VERSION AS OF); ids come
+    from resume_info()['lineage']."""
+    snap = snapshot_id if snapshot_id is not None else current_snapshot(path)
     if snap is None:
         return None
     data_dir = os.path.join(path, "snapshots", snap, "data")
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(f"snapshot {snap!r} not found in {path}")
     return spark.read.parquet(data_dir).drop("bucket")
 
 
