@@ -37,7 +37,8 @@ def get_spark(app_name: str = "vector_tile_go_spark", cores: int | None = None,
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cores * 3 // 2)}g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         # shuffle/spill on tmpfs: this sandbox's virtio disk writes ~120MB/s
         # and dirty-page writeback throttling stalls concurrent shuffles in
         # the kernel (measured: sys 30%, idle 33% with 4 pinned JVMs);
