@@ -219,3 +219,32 @@ def test_extent_clamp():
     buf = encode_layer(feats, z, x, y, "c", extent_clamp=True)
     f = decode_tile(buf, z, x, y, mode="int")[0][1]
     assert f.xs[0] == 4096
+
+
+def test_canonical_order_compat_mode():
+    """SURVEY §2.6: the engine's canonical property ordering (sorted keys)
+    is a deliberate deviation from the reference's Go-map nondeterminism,
+    with a compat mode. canonical_order=False preserves insertion order;
+    both modes decode to identical property sets."""
+    from vector_tile_go_spark.codec.encode import LayerEncoder
+    from vector_tile_go_spark.codec.decode import decode_tile, parse_tile
+
+    z, x, y = TILE
+    from vector_tile_go_spark import tilemath as tm
+    w, s, e, n = tm.tile_bounds(z, x, y)
+    props = {"zz": "1", "aa": "2", "mm": "3"}  # insertion order != sorted
+
+    bufs = {}
+    for canon in (True, False):
+        enc = LayerEncoder(z, x, y, "t", canonical_order=canon)
+        enc.add_feature("Point", [w + 0.5 * (e - w), s + 0.5 * (n - s)],
+                        dict(props), 1)
+        bufs[canon] = enc.flush()
+
+    # key dictionary order differs by mode...
+    assert parse_tile(bufs[True])[0].keys == ["aa", "mm", "zz"]
+    assert parse_tile(bufs[False])[0].keys == ["zz", "aa", "mm"]
+    # ...decoded properties are identical
+    for canon, buf in bufs.items():
+        (_, f), = decode_tile(buf, z, x, y, mode="props")
+        assert f.properties == props, canon
