@@ -153,3 +153,39 @@ def test_hex_knn_matches_bruteforce(spark, sf_dir):
     hexed = hex_knn_join(q, e, k=5).orderBy("qid", "rank").collect()
     brute = knn_bruteforce(q, e, k=5).orderBy("qid", "rank").collect()
     assert [tuple(r) for r in hexed] == [tuple(r) for r in brute]
+
+
+def test_hex_cover_cells_rigor(spark):
+    """Superset guarantee of the hex bbox cover: for random bboxes and
+    random points inside them, the point's hex cell always appears in the
+    exploded cover set (the PIP prefilter must never lose a candidate)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from vector_tile_go_spark.spatial import hexgrid
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        w = rng.uniform(-170, 150)
+        s = rng.uniform(-75, 55)
+        e = w + rng.uniform(0.1, 20)
+        n = s + rng.uniform(0.1, 15)
+        rows.append((i, w, s, e, n))
+    boxes = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["bid", "west", "south", "east", "north"]))
+    cover = hexgrid.hex_cover_cells(boxes).select("bid", "hq", "hr")
+    cov = {}
+    for r in cover.collect():
+        cov.setdefault(r["bid"], set()).add((r["hq"], r["hr"]))
+
+    pts = []
+    for (i, w, s, e, n) in rows:
+        for _ in range(25):
+            pts.append((i, rng.uniform(s, n), rng.uniform(w, e)))
+    pdf = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["bid", "lat", "lng"]))
+    hq, hr = hexgrid.hex_cell_cols(F.col("lat"), F.col("lng"))
+    assigned = pdf.withColumn("hq", hq).withColumn("hr", hr).collect()
+    for r in assigned:
+        assert (r["hq"], r["hr"]) in cov[r["bid"]], r
