@@ -105,3 +105,72 @@ def test_encode_arrow_pandas_byte_parity(spark, sf_dir):
     am = {(r["z"], r["x"], r["y"]): bytes(r["tile_pbf"]) for r in a.collect()}
     pm = {(r["z"], r["x"], r["y"]): bytes(r["tile_pbf"]) for r in p.collect()}
     assert am == pm and len(am) > 0
+
+
+def test_encode_null_props_arrow_pandas_parity(spark):
+    """Null property values must encode identically on both boundary
+    paths (pandas astype(str) renders None as 'None'; the arrow path must
+    not crash or diverge) — review finding r2."""
+    import pandas as pd
+    from vector_tile_go_spark import tilemath as tm
+    from vector_tile_go_spark.sparkops.udfs import (decode_tiles,
+                                                    encode_point_tiles)
+    z, x, y = 12, 701, 1635
+    w, s, e, n = tm.tile_bounds(z, x, y)
+    pdf = pd.DataFrame({
+        "z": z, "x": x, "y": y,
+        "lng": [w + 0.1 * (e - w) * i for i in range(1, 5)],
+        "lat": [s + 0.1 * (n - s) * i for i in range(1, 5)],
+        "doc_id": [1, 2, 3, 4],
+        "url": ["u1", None, "u3", None],
+        "mention_idx": ["0", "1", None, "2"]})
+    df = spark.createDataFrame(pdf)
+    a = encode_point_tiles(df, prop_cols=("url", "mention_idx"),
+                           use_arrow=True).collect()
+    p = encode_point_tiles(df, prop_cols=("url", "mention_idx"),
+                           use_arrow=False).collect()
+    assert len(a) == len(p) == 1
+    assert bytes(a[0]["tile_pbf"]) == bytes(p[0]["tile_pbf"])
+    feats = decode_tiles(encode_point_tiles(
+        df, prop_cols=("url", "mention_idx")), mode="props").collect()
+    assert sorted(f["properties"]["url"] for f in feats) == \
+        ["None", "None", "u1", "u3"]
+
+
+def test_upsert_splice_multirow_existing_keys(spark):
+    """An existing table with SEVERAL rows per tile key (per-layer rows)
+    must splice the adds exactly once per key and keep the other layer's
+    features — review finding r2."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from vector_tile_go_spark import tilemath as tm
+    from vector_tile_go_spark.sparkops.compositing import upsert_features
+    from vector_tile_go_spark.sparkops.udfs import decode_tiles, encode_point_tiles
+
+    z, x, y = 12, 701, 1635
+    w, s, e, n = tm.tile_bounds(z, x, y)
+
+    def ents(ids, zoff=0.0):
+        return spark.createDataFrame(pd.DataFrame({
+            "z": z, "x": x, "y": y,
+            "lng": [w + (0.05 * i + zoff) * (e - w) for i in ids],
+            "lat": [s + 0.4 * (n - s)] * len(ids),
+            "doc_id": ids, "mention_idx": [str(i % 3) for i in ids]}))
+
+    geo = encode_point_tiles(ents([1, 2]), layer_name="geo",
+                             prop_cols=("mention_idx",))
+    roads = encode_point_tiles(ents([10, 11], 0.3), layer_name="roads",
+                               prop_cols=("mention_idx",))
+    existing = geo.unionByName(roads)  # two rows, same (z, x, y)
+    new = ents([20, 21], 0.6)
+    merged = upsert_features(existing, new, layer_name="geo",
+                             prop_cols=("mention_idx",), mode="splice")
+    rows = merged.collect()
+    assert len(rows) == 1
+    feats = decode_tiles(merged).collect()
+    by_layer = {}
+    for f in feats:
+        by_layer.setdefault(f["layer"], set()).add(f["feature_id"])
+    # adds appended exactly once to geo; roads untouched
+    assert by_layer["geo"] == {1, 2, 20, 21}
+    assert by_layer["roads"] == {10, 11}

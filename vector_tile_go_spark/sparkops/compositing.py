@@ -34,7 +34,17 @@ def composite(*tile_dfs: DataFrame, layer_order_col: str = "layer") -> DataFrame
     u = tile_dfs[0]
     for t in tile_dfs[1:]:
         u = u.unionByName(t, allowMissingColumns=True)
-    # JVM-side binary fold (F.aggregate + F.concat) — no Python round-trip
+
+    # JVM-side binary fold (F.aggregate + F.concat) — no Python round-trip.
+    # A NULL element must fail loudly (raise_error inside the fold): plain
+    # F.concat would propagate one NULL into a silently-NULL composited
+    # tile where the old b''.join UDF raised.
+    def _concat_strict(acc, b):
+        return F.concat(acc, F.when(
+            b.isNull(),
+            F.raise_error(F.lit("composite(): NULL tile_pbf input"))
+            .cast("binary")).otherwise(b))
+
     return (u.groupBy("z", "x", "y")
             .agg(F.sort_array(F.collect_list(F.struct(layer_order_col, "tile_pbf")))
                  .alias("ls"),
@@ -42,8 +52,7 @@ def composite(*tile_dfs: DataFrame, layer_order_col: str = "layer") -> DataFrame
                  F.count("*").alias("n_layers"))
             .select("z", "x", "y",
                     F.aggregate(F.col("ls.tile_pbf"),
-                                F.lit(b"").cast("binary"),
-                                lambda acc, b: F.concat(acc, b))
+                                F.lit(b"").cast("binary"), _concat_strict)
                     .alias("tile_pbf"),
                     "n_features", F.col("n_layers").cast("int").alias("n_layers")))
 
@@ -113,7 +122,15 @@ def _upsert_splice(existing_tiles: DataFrame, new_entities: DataFrame,
     existing frame verbatim. New-tile keys (no existing row) get a fresh
     layer through the same kernel (append into an empty buffer). One
     shuffle on the tile key for the adds; the existing tile table is
-    joined on the same key."""
+    joined on the same key.
+
+    Existing tables may hold SEVERAL rows per tile key (per-layer rows, a
+    union of tile sets): they are first merged into one multi-frame buffer
+    per key (binary concat — layers are self-framing), so the appended
+    features splice in exactly once; append_features cleans the first
+    ``layer_name`` frame and passes other layers through verbatim. Merged
+    output rows carry layer = ``layer_name`` as the label of the updated
+    multi-layer tile."""
     adds = (new_entities
             .select("z", "x", "y", F.struct(
                 F.col("doc_id").cast("long").alias("doc_id"),
@@ -127,7 +144,18 @@ def _upsert_splice(existing_tiles: DataFrame, new_entities: DataFrame,
             .agg(F.sort_array(F.collect_list("a")).alias("adds")))
     untouched = existing_tiles.join(adds.select("z", "x", "y"),
                                     ["z", "x", "y"], "left_anti")
-    touched = adds.join(existing_tiles, ["z", "x", "y"], "left")
+    # one buffer per key: deterministic layer order, counts summed
+    existing_one = (existing_tiles
+                    .groupBy("z", "x", "y")
+                    .agg(F.sort_array(F.collect_list(
+                        F.struct("layer", "tile_pbf"))).alias("ls"),
+                        F.sum("n_features").cast("int").alias("n_features"))
+                    .select("z", "x", "y",
+                            F.aggregate(F.col("ls.tile_pbf"),
+                                        F.lit(b"").cast("binary"),
+                                        lambda acc, b: F.concat(acc, b))
+                            .alias("tile_pbf"), "n_features"))
+    touched = adds.join(existing_one, ["z", "x", "y"], "left")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -121,9 +121,11 @@ def _encode_sorted_batches_arrow(batches, layer_name: str,
         cols = {}
         for name in rb.schema.names:
             col = rb.column(rb.schema.get_field_index(name))
-            if name in prop_cols and not pa.types.is_string(col.type):
-                # non-string props: python-str formatting parity with the
-                # pandas path's astype(str)
+            if name in prop_cols and (not pa.types.is_string(col.type)
+                                      or col.null_count):
+                # non-string or null-carrying props: python-str formatting
+                # parity with the pandas path's astype(str) (None -> 'None',
+                # NaN -> 'nan'); null-free string columns pass through
                 cols[name] = pd.Series(
                     col.to_numpy(zero_copy_only=False)).astype(str).to_numpy()
             else:

@@ -136,14 +136,15 @@ def sql_hex_cell(lat_expr: str = "lat", lng_expr: str = "lng",
 def hex_knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
                  qkey: str = "qid", size: float = DEFAULT_SIZE,
                  max_rounds: int = 6) -> DataFrame:
-    """Exact kNN on the hex index — the cell-ring plan of spatial/knn.py
-    re-based on hex disks. Exactness guarantee: cell centers at hex
-    distance d are >= 1.5*s*d apart (tight on the axial diagonal), points
-    are within s of their center, so every unsearched point after a
-    radius-``rad`` disk lies at euclidean distance >= 1.5*s*(rad+1) - 2*s;
-    a query is settled iff its kth candidate distance is within that
-    margin. Same output contract as knn_join."""
-    from pyspark.sql.window import Window
+    """Exact kNN on the hex index — the shared escalation loop of
+    spatial/knn.py (escalating_knn) re-based on hex disks. Exactness
+    guarantee: cell centers at hex distance d are >= 1.5*s*d apart (tight
+    on the axial diagonal), points are within s of their center, so every
+    unsearched point after a radius-``rad`` disk lies at euclidean
+    distance >= 1.5*s*(rad+1) - 2*s; a query is settled iff its kth
+    candidate distance is within that margin. Same output contract as
+    knn_join."""
+    from .knn import escalating_knn
 
     qq, qr = hex_cell_cols(F.col("qlat"), F.col("qlng"), size)
     q = (queries.select(qkey, "qlat", "qlng")
@@ -152,39 +153,10 @@ def hex_knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
     p = (points.select("lat", "lng", "doc_id", "mention_idx")
          .withColumn("phq", pq).withColumn("phr", pr)).cache()
 
-    dist2 = ((F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) +
-             (F.col("lng") - F.col("qlng")) * (F.col("lng") - F.col("qlng")))
-    w = Window.partitionBy(qkey).orderBy("dist2", "doc_id", "mention_idx")
-
-    results = None
-    pending = q
-    rad = 1
-    for _ in range(max_rounds):
-        disk = hex_disk(pending, "hq", "hr", rad)
-        cand = (disk.join(p, (disk.nq == p.phq) & (disk.nr == p.phr))
-                .drop("phq", "phr")
-                .withColumn("dist2", dist2)
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
-        margin = F.lit(1.5 * size * (rad + 1) - 2.0 * size)
-        stats = (cand.groupBy(qkey)
-                 .agg(F.count("*").alias("nc"), F.max("dist2").alias("kth")))
-        satisfied = stats.filter((F.col("nc") >= k)
-                                 & (F.sqrt("kth") <= margin)).select(qkey)
-        done = cand.join(satisfied, qkey, "left_semi") \
-            .select(qkey, "rank", "doc_id", "mention_idx", "dist2")
-        results = done if results is None else results.unionByName(done)
-        pending = pending.join(satisfied, qkey, "left_anti").localCheckpoint()
-        if not pending.take(1):
-            break
-        rad *= 2
-    else:
-        cand = (pending.crossJoin(p.drop("phq", "phr"))
-                .withColumn("dist2", dist2)
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select(qkey, "rank", "doc_id", "mention_idx", "dist2"))
-        results = cand if results is None else results.unionByName(cand)
-    results = results.localCheckpoint()
-    p.unpersist()
-    return results
+    return escalating_knn(
+        q, p, k, qkey,
+        lambda pending, rad: hex_disk(pending, "hq", "hr", rad),
+        lambda e, pp: (e.nq == pp.phq) & (e.nr == pp.phr),
+        ("phq", "phr"),
+        lambda rad: F.lit(1.5 * size * (rad + 1) - 2.0 * size),
+        max_rounds)

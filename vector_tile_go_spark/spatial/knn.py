@@ -25,6 +25,69 @@ from pyspark.sql.window import Window
 from . import cells
 
 
+def escalating_knn(q: DataFrame, p: DataFrame, k: int, qkey: str,
+                   expand_fn, join_on, drop_cols: tuple[str, ...],
+                   margin_fn, max_rounds: int) -> DataFrame:
+    """Shared exact-kNN escalation loop, parameterized by the cell system:
+
+    - ``expand_fn(pending, rad)`` explodes pending queries into candidate
+      cells at escalation radius ``rad``;
+    - ``join_on(expanded, p)`` is the cell equi-join condition;
+    - ``margin_fn(rad)`` is the guaranteed-covered euclidean radius as a
+      Column over the candidate row (query-functional), against which the
+      kth distance is tested for exactness;
+    - ``drop_cols`` are the point-side cell columns to drop post-join.
+
+    Rounds: satisfied queries are emitted; the rest escalate (rad doubles);
+    stragglers after ``max_rounds`` fall back to brute force. Lineage is
+    localCheckpoint'ed per round, the result is materialized and the
+    cached point table released. Used by the quadtree-grid knn_join and
+    the hex-grid hex_knn_join so the loop semantics can never diverge."""
+    dist2 = ((F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) +
+             (F.col("lng") - F.col("qlng")) * (F.col("lng") - F.col("qlng")))
+    w = Window.partitionBy(qkey).orderBy("dist2", "doc_id", "mention_idx")
+
+    results = None
+    pending = q
+    rad = 1
+    for _ in range(max_rounds):
+        exp = expand_fn(pending, rad)
+        cand = (exp.join(p, join_on(exp, p)).drop(*drop_cols)
+                .withColumn("dist2", dist2)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .withColumn("__margin", margin_fn(rad)))
+        stats = (cand.groupBy(qkey)
+                 .agg(F.count("*").alias("nc"), F.max("dist2").alias("kth"),
+                      F.first("__margin").alias("m")))
+        satisfied = stats.filter(
+            (F.col("nc") >= k) & (F.sqrt("kth") <= F.col("m"))).select(qkey)
+        done = cand.join(satisfied, qkey, "left_semi") \
+            .select(qkey, "rank", "doc_id", "mention_idx", "dist2")
+        results = done if results is None else results.unionByName(done)
+        # localCheckpoint: truncate the union/anti-join lineage each round
+        # (the per-round take(1) below re-evaluates pending otherwise, and
+        # the plan would double every escalation)
+        pending = pending.join(satisfied, qkey, "left_anti") \
+            .localCheckpoint()
+        if not pending.take(1):
+            break
+        rad *= 2
+    else:
+        # fallback: brute force for stragglers (correctness over elegance)
+        cand = pending.crossJoin(p.drop(*drop_cols)) \
+            .withColumn("dist2", dist2) \
+            .withColumn("rank", F.row_number().over(w)) \
+            .filter(F.col("rank") <= k) \
+            .select(qkey, "rank", "doc_id", "mention_idx", "dist2")
+        results = cand if results is None else results.unionByName(cand)
+    # materialize the (dimension-sized) result so the cached point table can
+    # be released immediately instead of leaking until session teardown
+    results = results.localCheckpoint()
+    p.unpersist()
+    return results
+
+
 def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
              qkey: str = "qid", max_rounds: int = 6) -> DataFrame:
     """queries(qkey, qlat, qlng) x points(lat, lng, doc_id, mention_idx) ->
@@ -37,62 +100,33 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
         .withColumn("pgx", px).withColumn("pgy", py)
     p.cache()
 
-    dist2 = ((F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) +
-             (F.col("lng") - F.col("qlng")) * (F.col("lng") - F.col("qlng")))
-    w = Window.partitionBy(qkey).orderBy("dist2", "doc_id", "mention_idx")
+    def expand(pending, rad):
+        return cells.ring_cells(pending, "gx", "gy", rad)
 
-    results = None
-    pending = q
-    r = 1
-    for _ in range(max_rounds):
-        ring = cells.ring_cells(pending, "gx", "gy", r)
-        cand = ring.join(p, (ring.rx == p.pgx) & (ring.ry == p.pgy)) \
-            .drop("pgx", "pgy") \
-            .withColumn("dist2", dist2) \
-            .withColumn("rank", F.row_number().over(w)) \
-            .filter(F.col("rank") <= k)
+    def margin(rad):
         # guarantee radius: distance from q to the nearest edge of the
-        # searched square [ (gx-r)*step-180, (gx+r+1)*step-180 ] etc.
-        step = cells.GRID_STEP
-        gxl = (F.col("gx") - r) * step - 180.0
-        gxr = (F.col("gx") + r + 1) * step - 180.0
-        gyl = (F.col("gy") - r) * step - 90.0
-        gyr = (F.col("gy") + r + 1) * step - 90.0
+        # searched square [ (gx-rad)*step-180, (gx+rad+1)*step-180 ] etc.;
         # clamped edges (grid border) count as covered -> infinite margin
-        margin = F.least(
-            F.when((F.col("gx") - r) <= 0, F.lit(1e9)).otherwise(F.col("qlng") - gxl),
-            F.when((F.col("gx") + r) >= cells.GRID_NX - 1, F.lit(1e9)).otherwise(gxr - F.col("qlng")),
-            F.when((F.col("gy") - r) <= 0, F.lit(1e9)).otherwise(F.col("qlat") - gyl),
-            F.when((F.col("gy") + r) >= cells.GRID_NY - 1, F.lit(1e9)).otherwise(gyr - F.col("qlat")),
+        step = cells.GRID_STEP
+        gxl = (F.col("gx") - rad) * step - 180.0
+        gxr = (F.col("gx") + rad + 1) * step - 180.0
+        gyl = (F.col("gy") - rad) * step - 90.0
+        gyr = (F.col("gy") + rad + 1) * step - 90.0
+        return F.least(
+            F.when((F.col("gx") - rad) <= 0, F.lit(1e9))
+            .otherwise(F.col("qlng") - gxl),
+            F.when((F.col("gx") + rad) >= cells.GRID_NX - 1, F.lit(1e9))
+            .otherwise(gxr - F.col("qlng")),
+            F.when((F.col("gy") - rad) <= 0, F.lit(1e9))
+            .otherwise(F.col("qlat") - gyl),
+            F.when((F.col("gy") + rad) >= cells.GRID_NY - 1, F.lit(1e9))
+            .otherwise(gyr - F.col("qlat")),
         )
-        stats = cand.groupBy(qkey, "qlat", "qlng", "gx", "gy") \
-            .agg(F.count("*").alias("nc"), F.max("dist2").alias("kth"))
-        satisfied_keys = stats.filter(
-            (F.col("nc") >= k) & (F.sqrt("kth") <= margin)).select(qkey)
-        done = cand.join(satisfied_keys, qkey, "left_semi") \
-            .select(qkey, "rank", "doc_id", "mention_idx", "dist2")
-        results = done if results is None else results.unionByName(done)
-        # localCheckpoint: truncate the union/anti-join lineage each round
-        # (the per-round take(1) below re-evaluates pending otherwise, and
-        # the plan would double every escalation)
-        pending = pending.join(satisfied_keys, qkey, "left_anti") \
-            .localCheckpoint()
-        if not pending.take(1):
-            break
-        r *= 2
-    else:
-        # fallback: brute force for stragglers (correctness over elegance)
-        cand = pending.crossJoin(p.drop("pgx", "pgy")) \
-            .withColumn("dist2", dist2) \
-            .withColumn("rank", F.row_number().over(w)) \
-            .filter(F.col("rank") <= k) \
-            .select(qkey, "rank", "doc_id", "mention_idx", "dist2")
-        results = cand if results is None else results.unionByName(cand)
-    # materialize the (dimension-sized) result so the cached point table can
-    # be released immediately instead of leaking until session teardown
-    results = results.localCheckpoint()
-    p.unpersist()
-    return results
+
+    return escalating_knn(
+        q, p, k, qkey, expand,
+        lambda e, pp: (e.rx == pp.pgx) & (e.ry == pp.pgy),
+        ("pgx", "pgy"), margin, max_rounds)
 
 
 def knn_bruteforce(queries: DataFrame, points: DataFrame, k: int = 5,

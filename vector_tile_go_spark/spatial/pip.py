@@ -49,6 +49,34 @@ def raycast_inside(px: np.ndarray, py: np.ndarray,
     return inside
 
 
+def _refine_candidates(cand: DataFrame, poly_key: str,
+                       point_cols: tuple[str, ...]) -> DataFrame:
+    """Shared exact refine for any cover prefilter: even-odd ray cast of
+    candidate (point, polygon) rows, vectorized per polygon group within
+    each Arrow batch. Used by both the quadtree and hex PIP joins so the
+    refine semantics can never diverge between index types."""
+    out_schema = ", ".join(
+        [f"{poly_key} bigint"] +
+        [f"{c} bigint" for c in point_cols] + ["lat double", "lng double"])
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf["lng"].to_numpy()
+            py = pdf["lat"].to_numpy()
+            for key, idx in pdf.groupby(poly_key).groups.items():
+                loc = pdf.index.get_indexer(idx)
+                xs = np.asarray(pdf["xs"].iloc[loc[0]], dtype=np.float64)
+                ys = np.asarray(pdf["ys"].iloc[loc[0]], dtype=np.float64)
+                keep[loc] = raycast_inside(px[loc], py[loc], [xs], [ys])
+            kept = pdf.loc[keep]
+            yield kept[[poly_key, *point_cols, "lat", "lng"]]
+
+    return cand.mapInPandas(refine, out_schema)
+
+
 def pip_join(points: DataFrame, polygons: DataFrame,
              point_cols: tuple[str, ...] = ("doc_id",),
              poly_key: str = "n_nationkey") -> DataFrame:
@@ -61,27 +89,7 @@ def pip_join(points: DataFrame, polygons: DataFrame,
 
     cov = cells.cover_cells(polygons, COVER_ZOOM)
     cand = pts.join(F.broadcast(cov), ["cx", "cy"])
-
-    out_schema = ", ".join(
-        [f"{poly_key} bigint"] +
-        [f"{c} bigint" for c in point_cols] + ["lat double", "lng double"])
-
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf["lng"].to_numpy()
-            py = pdf["lat"].to_numpy()
-            for key, idx in pdf.groupby(poly_key).groups.items():
-                loc = pdf.index.get_indexer(idx)
-                xs = np.asarray(pdf["xs"].iloc[loc[0]], dtype=np.float64)
-                ys = np.asarray(pdf["ys"].iloc[loc[0]], dtype=np.float64)
-                keep[loc] = raycast_inside(px[loc], py[loc], [xs], [ys])
-            kept = pdf.loc[keep]
-            yield kept[[poly_key, *point_cols, "lat", "lng"]]
-
-    return cand.mapInPandas(refine, out_schema)
+    return _refine_candidates(cand, poly_key, point_cols)
 
 
 def pip_join_hex(points: DataFrame, polygons: DataFrame,
@@ -91,7 +99,7 @@ def pip_join_hex(points: DataFrame, polygons: DataFrame,
     """pip_join re-based on the hex cell index (hexgrid.hex_cover_cells):
     same two-phase plan — hex-cover equi-join prefilter, exact ray-cast
     refine — exercising the north rule's H3-style grid as the join index.
-    Identical output to pip_join (the refine is exact either way)."""
+    Identical output to pip_join (the shared refine is exact either way)."""
     from . import hexgrid
     if size is None:
         size = hexgrid.DEFAULT_SIZE
@@ -100,24 +108,4 @@ def pip_join_hex(points: DataFrame, polygons: DataFrame,
     pts = pts.withColumn("hq", hq).withColumn("hr", hr)
     cov = hexgrid.hex_cover_cells(polygons, size)
     cand = pts.join(F.broadcast(cov), ["hq", "hr"])
-
-    out_schema = ", ".join(
-        [f"{poly_key} bigint"] +
-        [f"{c} bigint" for c in point_cols] + ["lat double", "lng double"])
-
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf["lng"].to_numpy()
-            py = pdf["lat"].to_numpy()
-            for key, idx in pdf.groupby(poly_key).groups.items():
-                loc = pdf.index.get_indexer(idx)
-                xs = np.asarray(pdf["xs"].iloc[loc[0]], dtype=np.float64)
-                ys = np.asarray(pdf["ys"].iloc[loc[0]], dtype=np.float64)
-                keep[loc] = raycast_inside(px[loc], py[loc], [xs], [ys])
-            kept = pdf.loc[keep]
-            yield kept[[poly_key, *point_cols, "lat", "lng"]]
-
-    return cand.mapInPandas(refine, out_schema)
+    return _refine_candidates(cand, poly_key, point_cols)

@@ -24,11 +24,15 @@ from pyspark.sql import DataFrame
 
 def write_tile_directory(tiles: DataFrame, root: str) -> int:
     """Write one ``<root>/<z>/<x>/<y>.mvt`` file per tile row, from the
-    executors (foreachPartition). Returns the number of tiles written
-    (counted via a second pass over the DataFrame — cheap vs the IO).
+    executors (foreachPartition). Returns the number of tiles written,
+    counted in the SAME pass via an accumulator — no second execution of
+    the upstream DAG, and the count reflects the files actually written.
     Multi-row tiles (same z/x/y from a partial union) should be composited
     first (sparkops.compositing.composite)."""
+    acc = tiles.sparkSession.sparkContext.accumulator(0)
+
     def write_partition(rows):
+        n = 0
         for r in rows:
             d = os.path.join(root, str(r["z"]), str(r["x"]))
             os.makedirs(d, exist_ok=True)
@@ -36,10 +40,11 @@ def write_tile_directory(tiles: DataFrame, root: str) -> int:
             with open(tmp, "wb") as f:
                 f.write(bytes(r["tile_pbf"]))
             os.replace(tmp, os.path.join(d, f"{r['y']}.mvt"))
+            n += 1
+        acc.add(n)
 
-    sel = tiles.select("z", "x", "y", "tile_pbf")
-    sel.foreachPartition(write_partition)
-    return sel.count()
+    tiles.select("z", "x", "y", "tile_pbf").foreachPartition(write_partition)
+    return acc.value
 
 
 def read_tile_directory(spark, root: str) -> DataFrame:
@@ -115,9 +120,11 @@ def write_mbtiles_sharded(tiles: DataFrame, out_dir: str, n_shards: int = 8,
                .withColumn("shard", F.pmod(
                    F.xxhash64("z", "x", "y"), F.lit(n_shards)).cast("int"))
                .repartition(n_shards, "shard"))
+    acc = tiles.sparkSession.sparkContext.accumulator(0)
 
     def write_partition(rows):
         cons: dict[int, sqlite3.Connection] = {}
+        n = 0
         try:
             for r in rows:
                 s = int(r["shard"])
@@ -132,14 +139,16 @@ def write_mbtiles_sharded(tiles: DataFrame, out_dir: str, n_shards: int = 8,
                     "INSERT OR REPLACE INTO tiles VALUES (?, ?, ?, ?)",
                     (z, int(r["x"]), (1 << z) - 1 - y,
                      sqlite3.Binary(bytes(r["tile_pbf"]))))
+                n += 1
             for con in cons.values():
                 con.commit()
         finally:
             for con in cons.values():
                 con.close()
+        acc.add(n)
 
     sharded.foreachPartition(write_partition)
-    return sharded.count()
+    return acc.value
 
 
 def read_mbtiles(spark, path: str) -> DataFrame:
