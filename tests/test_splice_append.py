@@ -123,3 +123,17 @@ def test_add_feature_raw_byte_parity():
             np.frombuffer(fbuf, np.uint8, glen, i + 2))
         b.add_feature_raw(1, cmds, f["properties"], f["id"])
     assert b.flush() == buf_a
+
+
+def test_remove_layers_plural():
+    """DeleteLayers (read_tile.go:59-72): multi-layer splice in one pass,
+    surviving bytes verbatim, equal to chained single removes."""
+    a = encode_layer(_feats([1]), *TILE, "a")
+    b = encode_layer(_feats([2]), *TILE, "b")
+    c = encode_layer(_feats([3]), *TILE, "c")
+    tile = a + b + c
+    out = splice.remove_layers(tile, ["a", "c"])
+    assert out == b
+    chained = splice.remove_layer(splice.remove_layer(tile, "a"), "c")
+    assert out == chained
+    assert splice.remove_layers(tile, []) == tile

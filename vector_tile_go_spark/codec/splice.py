@@ -81,6 +81,20 @@ def filter_layer(buf: bytes, layer_name: str, keep_fn) -> bytes:
     return bytes(out)
 
 
+def remove_layers(buf: bytes, layer_names) -> bytes:
+    """DeleteLayers (read_tile.go:59-72): splice several layers out in one
+    pass; every surviving byte verbatim."""
+    drop = set(layer_names)
+    out = bytearray()
+    for lf in parse_tile(buf):
+        if lf.name in drop:
+            continue
+        size = lf.end - lf.start
+        frame_start = lf.start - len(encode_varint(size)) - 1
+        out += buf[frame_start:lf.end]
+    return bytes(out)
+
+
 def get_last_point(lf: LayerFrame) -> tuple[int, int] | None:
     """get_last_point (read_feature_lazy.go:402-445): the last vertex of a
     layer's final feature — the cursor seed the reference's lazy append
