@@ -220,53 +220,53 @@ def decode_geometry_cmds(cmds: np.ndarray, geom_type: int):
         return _decode_geometry_cmds_py(
             cmds if isinstance(cmds, list) else np.asarray(cmds).tolist(), n)
     cmds = np.asarray(cmds, dtype=np.uint32)
-    xs_parts, ys_parts, ring_lens = [], [], []
+    # Pass 1 walks COMMAND ints only (O(#parts), not O(#vertices)),
+    # recording parameter runs and part boundaries. Because the cursor
+    # carries across every MoveTo/LineTo run, the whole geometry is ONE
+    # cumulative sum over all deltas in stream order — pass 2 is a gather +
+    # zigzag + two cumsums, with no per-vertex Python.
+    runs: list = []       # (param_start, n_pairs)
+    part_lens: list = []  # points per part
     pos = 0
-    cx = cy = 0.0
-    cur_x: list = []
-    cur_y: list = []
-
-    def flush_part():
-        if cur_x:
-            xs_parts.append(np.array(cur_x))
-            ys_parts.append(np.array(cur_y))
-            ring_lens.append(len(cur_x))
-            cur_x.clear()
-            cur_y.clear()
-
+    cur = 0
     while pos < n:
         cmd = int(cmds[pos])
         cmd_id = cmd & 0x7
         count = cmd >> 3
         pos += 1
         if cmd_id == 1:  # MoveTo: starts a new part
-            flush_part()
+            if cur:
+                part_lens.append(cur)
+                cur = 0
             avail = min(count, (n - pos) // 2)
-            d = tm.zigzag_decode(cmds[pos:pos + avail * 2])
+            if avail:
+                runs.append((pos, avail))
+                cur += avail
             pos += avail * 2
-            for i in range(avail):
-                cx += d[2 * i]
-                cy += d[2 * i + 1]
-                cur_x.append(cx)
-                cur_y.append(cy)
         elif cmd_id == 2:  # LineTo: extends the current part
             avail = min(count, (n - pos) // 2)
-            d = tm.zigzag_decode(cmds[pos:pos + avail * 2])
-            pos += avail * 2
-            dx = np.cumsum(d[0::2]) + cx
-            dy = np.cumsum(d[1::2]) + cy
-            cur_x.extend(dx.tolist())
-            cur_y.extend(dy.tolist())
             if avail:
-                cx, cy = float(dx[-1]), float(dy[-1])
+                runs.append((pos, avail))
+                cur += avail
+            pos += avail * 2
         elif cmd_id == 7:  # ClosePath: ring boundary (closing point implied)
             pass
         else:  # unknown command: skip (corrupt-tolerant)
             pass
-    flush_part()
-    if not xs_parts:
+    if cur:
+        part_lens.append(cur)
+    if not runs:
         return np.zeros(0), np.zeros(0), []
-    return np.concatenate(xs_parts), np.concatenate(ys_parts), ring_lens
+    if len(runs) == 1:
+        p0, a0 = runs[0]
+        params = cmds[p0:p0 + 2 * a0]
+    else:
+        params = cmds[np.concatenate(
+            [np.arange(p, p + 2 * a) for p, a in runs])]
+    d = tm.zigzag_decode(params)
+    xs = np.cumsum(d[0::2], dtype=np.float64)
+    ys = np.cumsum(d[1::2], dtype=np.float64)
+    return xs, ys, part_lens
 
 
 def _decode_geometry_cmds_py(cmds: list, n: int):
@@ -382,9 +382,9 @@ def decode_feature(layer: LayerFrame, span, mode: str = "lnglat",
         feat.geojson_type = GEOM_TYPE_NAME.get(geom_type, "")
         return feat
     span_len = geom_span[1] - geom_span[0]
-    if span_len < 256:
+    if span_len < 112:
         # small-geometry fast path (points, short lines): plain byte loop,
-        # no numpy per-call overhead
+        # no numpy per-call overhead (measured crossover ≈ 112 bytes)
         g0, g1 = geom_span
         vals = []
         v = shift = 0
@@ -433,10 +433,63 @@ def _infer_simple_type(feat: DecodedFeature):
 def _assemble_polygons(feat: DecodedFeature):
     """Ring -> polygon assembly (read_tile.go:278-307): close unclosed rings,
     then rings with SignedArea < 0 start a new polygon; >= 0 append as hole
-    to the previous polygon (sign inverted vs write side: the y-axis flips)."""
-    rings = list(feat.rings())
+    to the previous polygon (sign inverted vs write side: the y-axis flips).
+
+    Flat-array implementation: ring closure via a single batched np.insert,
+    all signed areas in one shoelace + add.reduceat — no per-ring stack/roll
+    (zero-length rings fall back to the per-ring twin)."""
+    lens = feat.ring_lens
+    nr = len(lens)
+    if nr == 0:
+        feat.xs = np.zeros(0)
+        feat.ys = np.zeros(0)
+        feat.poly_ring_counts = []
+        feat.geojson_type = "MultiPolygon"
+        return
+    if min(lens) == 0:
+        _assemble_polygons_perring(feat)
+        return
+    xs, ys = feat.xs, feat.ys
+    lens_a = np.asarray(lens, dtype=np.int64)
+    ends = np.cumsum(lens_a)
+    starts = ends - lens_a
+    open_mask = ((xs[starts] != xs[ends - 1]) | (ys[starts] != ys[ends - 1]))
+    if open_mask.any():
+        # close unclosed rings: insert each ring's first point at its end
+        ins_at = ends[open_mask]
+        xs = np.insert(xs, ins_at, xs[starts[open_mask]])
+        ys = np.insert(ys, ins_at, ys[starts[open_mask]])
+        lens_a = lens_a + open_mask.astype(np.int64)
+        ends = np.cumsum(lens_a)
+        starts = ends - lens_a
+    if nr == 1:
+        groups = [1]
+    else:
+        xprev = np.empty_like(xs)
+        xprev[1:] = xs[:-1]
+        xprev[starts] = xs[ends - 1]
+        yprev = np.empty_like(ys)
+        yprev[1:] = ys[:-1]
+        yprev[starts] = ys[ends - 1]
+        areas = np.add.reduceat((xprev - xs) * (ys + yprev), starts)
+        groups = []
+        for a in areas:
+            if a < 0 or not groups:
+                groups.append(1)
+            else:
+                groups[-1] += 1
+    feat.xs = xs
+    feat.ys = ys
+    feat.ring_lens = lens_a.tolist()
+    feat.poly_ring_counts = groups
+    feat.geojson_type = "Polygon" if len(groups) == 1 else "MultiPolygon"
+
+
+def _assemble_polygons_perring(feat: DecodedFeature):
+    """Per-ring twin of _assemble_polygons for the degenerate zero-length
+    ring case (reduceat needs strictly increasing offsets)."""
     closed = []
-    for r in rings:
+    for r in feat.rings():
         if len(r) and (r[0, 0] != r[-1, 0] or r[0, 1] != r[-1, 1]):
             r = np.vstack([r, r[:1]])
         closed.append(r)

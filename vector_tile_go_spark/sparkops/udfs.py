@@ -688,25 +688,75 @@ def decode_tile_vertices(tiles: DataFrame, scale_dim: float | None = None) -> Da
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # Per-FEATURE scalar metadata + per-feature vertex arrays; the
+            # per-vertex expansion happens once at the end with np.repeat —
+            # no per-vertex Python (the bulk treatment the point decoder got,
+            # see VERDICT r2 next-round #1).
+            meta_z, meta_x, meta_y = [], [], []
+            meta_layer, meta_fid, meta_gt = [], [], []
+            counts = []            # vertices per feature
+            rings_per_feat = []    # rings per feature
+            all_ring_lens = []     # flat: vertices per ring, across features
+            xs_parts, ys_parts = [], []
             for z, x, y, buf in zip(pdf["z"], pdf["x"], pdf["y"],
                                     pdf["tile_pbf"]):
                 if buf is None:
                     continue
                 for lname, f in decode_tile(bytes(buf), int(z), int(x),
                                             int(y), mode="int"):
-                    off = 0
-                    for ri, ln in enumerate(f.ring_lens):
-                        for j in range(ln):
-                            ix = int(f.xs[off + j])
-                            iy = int(f.ys[off + j])
-                            rows.append((int(z), int(x), int(y), lname,
-                                         f.feature_id, f.geojson_type,
-                                         ri, j, ix, iy))
-                        off += ln
-            out = pd.DataFrame(rows, columns=["z", "x", "y", "layer",
-                                              "feature_id", "geojson_type",
-                                              "ring_idx", "pt_idx", "ix", "iy"])
+                    n = sum(f.ring_lens)
+                    if n == 0:
+                        continue
+                    meta_z.append(int(z)); meta_x.append(int(x))
+                    meta_y.append(int(y)); meta_layer.append(lname)
+                    meta_fid.append(f.feature_id)
+                    meta_gt.append(f.geojson_type)
+                    counts.append(n)
+                    rings_per_feat.append(len(f.ring_lens))
+                    all_ring_lens.extend(f.ring_lens)
+                    xs_parts.append(f.xs)
+                    ys_parts.append(f.ys)
+            if counts:
+                cnt = np.asarray(counts, dtype=np.int64)
+                # ring_idx / pt_idx computed ONCE at batch level:
+                # ring index within its feature, repeated per vertex …
+                lens = np.asarray(all_ring_lens, dtype=np.int64)
+                rpf = np.asarray(rings_per_feat, dtype=np.int64)
+                ring_off = np.repeat(np.cumsum(rpf) - rpf, rpf)
+                ring_in_feat = np.arange(len(lens), dtype=np.int64) - ring_off
+                ring_idx = np.repeat(ring_in_feat.astype(np.int32), lens)
+                # … and vertex index within its ring.
+                vert_off = np.repeat(np.cumsum(lens) - lens, lens)
+                pt_idx = (np.arange(int(lens.sum()), dtype=np.int64)
+                          - vert_off).astype(np.int32)
+                out = pd.DataFrame({
+                    "z": np.repeat(np.asarray(meta_z, np.int32), cnt),
+                    "x": np.repeat(np.asarray(meta_x, np.int64), cnt),
+                    "y": np.repeat(np.asarray(meta_y, np.int64), cnt),
+                    "layer": np.repeat(np.asarray(meta_layer, object), cnt),
+                    # feature_id may be None (id field absent in the wire);
+                    # object-repeat + nullable Int64 keeps bigint-with-null.
+                    "feature_id": pd.array(
+                        np.repeat(np.asarray(meta_fid, object), cnt),
+                        dtype="Int64"),
+                    "geojson_type": np.repeat(np.asarray(meta_gt, object), cnt),
+                    "ring_idx": ring_idx,
+                    "pt_idx": pt_idx,
+                    "ix": np.concatenate(xs_parts).astype(np.int64),
+                    "iy": np.concatenate(ys_parts).astype(np.int64),
+                })
+            else:
+                out = pd.DataFrame({
+                    "z": np.array([], np.int32), "x": np.array([], np.int64),
+                    "y": np.array([], np.int64),
+                    "layer": np.array([], object),
+                    "feature_id": np.array([], np.int64),
+                    "geojson_type": np.array([], object),
+                    "ring_idx": np.array([], np.int32),
+                    "pt_idx": np.array([], np.int32),
+                    "ix": np.array([], np.int64),
+                    "iy": np.array([], np.int64),
+                })
             if scale_dim is not None:
                 for src, dst in (("ix", "sx"), ("iy", "sy")):
                     v = out[src].to_numpy(np.float64) / float(scale_dim)
