@@ -110,3 +110,85 @@ def test_props_mode_nan_on_bulk_path(spark):
         # never a tile-local integer coordinate
         for v in (r["lng"], r["lat"]):
             assert v is None or math.isnan(v), f"coords leaked: {v!r}"
+
+
+def test_padded_length_varint_splice_verbatim():
+    """Round-2 advice: a foreign tile with a NON-minimal layer-length varint
+    must splice on the recorded frame start, not a re-derived minimal
+    varint — the surviving layer's bytes (padding included) stay verbatim."""
+    from vector_tile_go_spark.codec import splice
+    from vector_tile_go_spark.codec.wire import read_varint
+
+    z, x, y = TILE
+    mk = lambda name, i: encode_layer(
+        [{"id": i, "type": "Point", "coordinates": _mid(z, x, y),
+          "properties": {"url": f"u{i}", "mention_idx": "0"}}],
+        z, x, y, name, extent_clamp=True)
+    frame_a, frame_b = mk("aaa", 1), mk("bbb", 2)
+    # re-frame layer aaa with a padded (2-byte) length varint
+    size, body_start = read_varint(frame_a, 1)
+    body = frame_a[body_start:]
+    assert len(body) == size and size < 128
+    padded_a = bytes([0x1A, 0x80 | size, 0x00]) + body
+    tile = padded_a + frame_b
+    # sanity: still decodes to both layers
+    assert [lf.name for lf in parse_tile(tile)] == ["aaa", "bbb"]
+
+    out = splice.remove_layer(tile, "bbb")
+    assert out == padded_a, "padded frame must survive byte-verbatim"
+    out2 = splice.remove_layers(tile, ["bbb"])
+    assert out2 == padded_a
+    # filter_layer on bbb must also pass the padded aaa frame through intact
+    out3 = splice.filter_layer(tile, "bbb", lambda props, fid: True)
+    assert out3.startswith(padded_a)
+    # append into bbb: aaa's padded frame passes through verbatim
+    out4 = splice.append_features(
+        tile, "bbb", [{"type": "Point", "coordinates": _mid(z, x, y),
+                       "properties": {"url": "u9", "mention_idx": "1"},
+                       "id": 9}], z, x, y)
+    assert out4.startswith(padded_a)
+    assert {lf.name for lf in parse_tile(out4)} == {"aaa", "bbb"}
+
+
+def test_knn_boundary_tie_escalates(spark):
+    """Round-2 advice: when sqrt(kth) == margin exactly, a point outside the
+    searched cells at the SAME distance but smaller tie-break must still be
+    found — the satisfied filter must be strict, escalating one more round."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vector_tile_go_spark.spatial.knn import escalating_knn
+
+    # 1-D unit-width integer cells on lng (lat == 0 everywhere).
+    q = spark.createDataFrame(pd.DataFrame(
+        {"qid": [1], "qlat": [0.0], "qlng": [0.5]})) \
+        .withColumn("gx", F.floor("qlng").cast("int"))
+    # p2 (doc_id 2) at lng=-1.0 -> cell -1, inside the rad=1 ring,
+    #   dist = 1.5 == margin exactly.
+    # p1 (doc_id 1) at lng=2.0  -> cell 2, OUTSIDE the rad=1 ring,
+    #   dist = 1.5 too, and wins the (dist2, doc_id) tie-break.
+    p = spark.createDataFrame(pd.DataFrame(
+        {"lat": [0.0, 0.0], "lng": [2.0, -1.0],
+         "doc_id": [1, 2], "mention_idx": [0, 0]})) \
+        .withColumn("pgx", F.floor("lng").cast("int"))
+    p.cache()
+
+    def expand(pending, rad):
+        return pending.withColumn(
+            "cell", F.explode(F.sequence(F.col("gx") - rad,
+                                         F.col("gx") + rad)))
+
+    def join_on(exp, pts):
+        return exp["cell"] == pts["pgx"]
+
+    def margin(rad):
+        # covered lng interval: [gx - rad, gx + rad + 1]
+        return F.least(F.col("qlng") - (F.col("gx") - F.lit(rad)),
+                       (F.col("gx") + F.lit(rad) + 1) - F.col("qlng"))
+
+    out = escalating_knn(q, p, k=1, qkey="qid", expand_fn=expand,
+                         join_on=join_on, drop_cols=("pgx",),
+                         margin_fn=margin, max_rounds=4).collect()
+    assert len(out) == 1
+    # lax (<=) would settle on doc_id 2 in round 1; strict finds doc_id 1
+    assert out[0]["doc_id"] == 1

@@ -166,7 +166,17 @@ def test_upsert_splice_multirow_existing_keys(spark):
     merged = upsert_features(existing, new, layer_name="geo",
                              prop_cols=("mention_idx",), mode="splice")
     rows = merged.collect()
-    assert len(rows) == 1
+    # per-layer rows survive the upsert: the roads row passes through
+    # verbatim with its own label, only the geo row is spliced (ADVICE r2 —
+    # the layer column must keep identifying frames)
+    assert len(rows) == 2
+    by_row_layer = {r["layer"]: r for r in rows}
+    assert set(by_row_layer) == {"geo", "roads"}
+    roads_orig = roads.collect()[0]["tile_pbf"]
+    assert bytes(by_row_layer["roads"]["tile_pbf"]) == bytes(roads_orig)
+    from vector_tile_go_spark.codec.decode import parse_tile
+    geo_frames = parse_tile(bytes(by_row_layer["geo"]["tile_pbf"]))
+    assert all(lf.name == "geo" for lf in geo_frames)
     feats = decode_tiles(merged).collect()
     by_layer = {}
     for f in feats:

@@ -58,6 +58,10 @@ class LayerFrame:
     # read_layer.go:168-280, operations.go:26-54)
     feature_frame_spans: list = field(default_factory=list)
     dict_spans: list = field(default_factory=list)  # key+value fields, in order
+    # byte offset of the layer's 0x1a field tag in buf (frame start incl.
+    # tag + length varint). -1 = unknown (frame built by hand); splice ops
+    # then fall back to deriving it from a minimal length varint.
+    frame_start: int = -1
 
 
 @dataclass
@@ -108,10 +112,15 @@ def parse_tile(buf: bytes) -> list[LayerFrame]:
     layers = []
     pos, n = 0, len(buf)
     while pos < n:
+        tag_pos = pos
         fieldno, wt, pos = read_key(buf, pos)
         if fieldno == 3 and wt == 2:
             size, pos = read_varint(buf, pos)
-            layers.append(parse_layer(buf, pos, pos + size))
+            lf = parse_layer(buf, pos, pos + size)
+            # actual frame start (tag byte), robust to padded (non-minimal)
+            # length varints in foreign tiles — splice ops reuse it verbatim
+            lf.frame_start = tag_pos
+            layers.append(lf)
             pos += size
         elif wt == 0:
             _, pos = read_varint(buf, pos)

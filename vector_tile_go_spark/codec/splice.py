@@ -30,6 +30,16 @@ def _frame_layer_body(body: bytes) -> bytes:
     return bytes([26]) + encode_varint(len(body)) + body
 
 
+def _frame_start(lf: LayerFrame) -> int:
+    """Byte offset of the layer's 0x1a tag. parse_tile records the actual
+    offset (robust to padded length varints in foreign tiles); the minimal-
+    varint derivation remains only as a fallback for hand-built frames."""
+    if lf.frame_start >= 0:
+        return lf.frame_start
+    size = lf.end - lf.start
+    return lf.start - len(encode_varint(size)) - 1
+
+
 def render(layers: list[LayerFrame]) -> bytes:
     """Re-serialize kept layer frames verbatim (read_tile.go:47-56)."""
     out = bytearray()
@@ -48,9 +58,7 @@ def remove_layer(buf: bytes, layer_name: str) -> bytes:
         if lf.name == layer_name:
             continue
         # frame start = layer start minus its 0x1a tag + varint length
-        size = lf.end - lf.start
-        frame_start = lf.start - len(encode_varint(size)) - 1
-        out += buf[frame_start:lf.end]
+        out += buf[_frame_start(lf):lf.end]
     return bytes(out)
 
 
@@ -61,10 +69,8 @@ def filter_layer(buf: bytes, layer_name: str, keep_fn) -> bytes:
     (geometry bytes untouched); other layers pass through unchanged."""
     out = bytearray()
     for lf in parse_tile(buf):
-        size = lf.end - lf.start
-        frame_start = lf.start - len(encode_varint(size)) - 1
         if lf.name != layer_name:
-            out += buf[frame_start:lf.end]
+            out += buf[_frame_start(lf):lf.end]
             continue
         body = bytearray()
         raw = lf.name.encode("utf-8")
@@ -89,9 +95,7 @@ def remove_layers(buf: bytes, layer_names) -> bytes:
     for lf in parse_tile(buf):
         if lf.name in drop:
             continue
-        size = lf.end - lf.start
-        frame_start = lf.start - len(encode_varint(size)) - 1
-        out += buf[frame_start:lf.end]
+        out += buf[_frame_start(lf):lf.end]
     return bytes(out)
 
 
@@ -166,9 +170,7 @@ def append_features(buf: bytes, layer_name: str, features, z: int, x: int,
         if enc is None and lf.name == layer_name:
             enc = clean_layer(lf, z, x, y, extent_clamp)
             continue  # spliced out; the rebuilt frame lands at the end
-        size = lf.end - lf.start
-        frame_start = lf.start - len(encode_varint(size)) - 1
-        out += buf[frame_start:lf.end]
+        out += buf[_frame_start(lf):lf.end]
     if enc is None:
         enc = LayerEncoder(z, x, y, layer_name, extent_clamp=extent_clamp)
     for f in features:

@@ -125,12 +125,13 @@ def _upsert_splice(existing_tiles: DataFrame, new_entities: DataFrame,
     joined on the same key.
 
     Existing tables may hold SEVERAL rows per tile key (per-layer rows, a
-    union of tile sets): they are first merged into one multi-frame buffer
-    per key (binary concat — layers are self-framing), so the appended
-    features splice in exactly once; append_features cleans the first
-    ``layer_name`` frame and passes other layers through verbatim. Merged
-    output rows carry layer = ``layer_name`` as the label of the updated
-    multi-layer tile."""
+    union of tile sets). Only rows of the TARGET layer are merged into one
+    buffer per key (binary concat — layers are self-framing) and spliced;
+    rows of other layers pass through verbatim as their own rows, so the
+    ``layer`` column keeps identifying frames after the upsert (ADVICE r2:
+    downstream filter_layer / composite(layer_order_col) stay correct).
+    Same-name frames within the merged buffer are fine: append_features
+    cleans the first and passes the rest verbatim (readers merge them)."""
     adds = (new_entities
             .select("z", "x", "y", F.struct(
                 F.col("doc_id").cast("long").alias("doc_id"),
@@ -142,10 +143,15 @@ def _upsert_splice(existing_tiles: DataFrame, new_entities: DataFrame,
             # sort_array -> deterministic append order (doc_id leads the
             # struct), so the spliced bytes are reproducible run to run
             .agg(F.sort_array(F.collect_list("a")).alias("adds")))
-    untouched = existing_tiles.join(adds.select("z", "x", "y"),
-                                    ["z", "x", "y"], "left_anti")
-    # one buffer per key: deterministic layer order, counts summed
-    existing_one = (existing_tiles
+    # pass-through set: every row of a different layer, PLUS target-layer
+    # rows of un-touched tiles — the layer column stays frame-accurate
+    is_target = F.col("layer") == F.lit(layer_name)
+    untouched = existing_tiles.filter(~is_target).unionByName(
+        existing_tiles.filter(is_target).join(
+            adds.select("z", "x", "y"), ["z", "x", "y"], "left_anti"))
+    # one buffer per key from the TARGET layer's rows only (deterministic
+    # order, counts summed); other layers never enter the splice
+    existing_one = (existing_tiles.filter(is_target)
                     .groupBy("z", "x", "y")
                     .agg(F.sort_array(F.collect_list(
                         F.struct("layer", "tile_pbf"))).alias("ls"),

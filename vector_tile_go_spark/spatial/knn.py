@@ -60,8 +60,11 @@ def escalating_knn(q: DataFrame, p: DataFrame, k: int, qkey: str,
         stats = (cand.groupBy(qkey)
                  .agg(F.count("*").alias("nc"), F.max("dist2").alias("kth"),
                       F.first("__margin").alias("m")))
+        # strict <: at sqrt(kth) == margin an unsearched point at exactly
+        # the margin distance could win the (doc_id, mention_idx) tie-break;
+        # boundary ties escalate one more round instead (ADVICE r2)
         satisfied = stats.filter(
-            (F.col("nc") >= k) & (F.sqrt("kth") <= F.col("m"))).select(qkey)
+            (F.col("nc") >= k) & (F.sqrt("kth") < F.col("m"))).select(qkey)
         done = cand.join(satisfied, qkey, "left_semi") \
             .select(qkey, "rank", "doc_id", "mention_idx", "dist2")
         results = done if results is None else results.unionByName(done)
