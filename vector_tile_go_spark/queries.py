@@ -976,14 +976,18 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN with hamming-2 multiprobe — approximate by design,
-    so no SQL oracle (driver records the rows-only check); recall vs brute
-    force is asserted in tests/test_text_ops.py."""
+    """LSH-bucketed ANN (similarity/ann.py lsh_topk). Registered at
+    probe_hamming = n_planes: probing every bucket makes the multiprobe
+    exhaustive, hence EXACT — equal to brute force, so the ann_topk oracle
+    SQL applies while the plan still exercises the full LSH machinery
+    (bucketize, probe expansion, bucket equi-join, cosine re-rank).
+    Production runs probe_hamming 1-2; that approximate config's recall vs
+    brute force is asserted in tests/test_text_ops.py."""
     from .similarity.ann import lsh_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("qid"), "embedding").toPandas()
-    return lsh_topk(emb, queries, k=10)
+    return lsh_topk(emb, queries, k=10, n_planes=8, probe_hamming=8)
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -1101,7 +1105,7 @@ def oracle_queries() -> dict[str, str]:
         l: ("len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''), "
             "t -> t IN ('" + "', '".join(ws) + "')))")
         for l, ws in STOPWORDS.items()}
-    return {
+    sqls = {
         "compositing": _mentions_oracle(
             "SELECT z, x, y, COUNT(DISTINCT CASE WHEN d.lang = 'en' "
             "THEN 'geo_en' ELSE 'geo_other' END) AS n_layers, "
@@ -1427,6 +1431,10 @@ r AS (SELECT qid, vec_id,
       FROM s)
 SELECT qid, rank, vec_id FROM r WHERE rank <= 10""",
     }
+    # ann_lsh is registered exhaustive (probe_hamming = n_planes), which
+    # makes LSH exact — identical result contract to brute force
+    sqls["ann_lsh"] = sqls["ann_topk"]
+    return sqls
 
 
 def _two_ring_vertices_sql(r1_vertex, keep0: str, keep1: str,

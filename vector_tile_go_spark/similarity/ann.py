@@ -103,14 +103,15 @@ def lsh_topk(embeddings: DataFrame, queries: pd.DataFrame, k: int = 10,
     qm = _normalize(np.array(list(queries["embedding"]), dtype=np.float64))
     qsigns = (qm @ planes.T) > 0
     qbuckets = (qsigns.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
-    # expand query buckets by hamming radius
+    # expand query buckets by hamming radius; probe_hamming == n_planes
+    # probes every bucket -> exhaustive, hence EXACT (the oracle-checkable
+    # config of this operator; production probes 1-2)
+    from itertools import combinations
     probe_rows = []
     masks = [0]
-    if probe_hamming >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if probe_hamming >= 2:
-        masks += [(1 << i) | (1 << j) for i in range(n_planes)
-                  for j in range(i + 1, n_planes)]
+    for h in range(1, min(probe_hamming, n_planes) + 1):
+        masks += [sum(1 << i for i in c)
+                  for c in combinations(range(n_planes), h)]
     for qid, qb, qv in zip(queries["qid"], qbuckets, qm):
         for m in masks:
             probe_rows.append((int(qid), int(qb ^ m), qv.tolist()))
