@@ -190,3 +190,31 @@ def test_simhash_multitable_exact(spark, docs):
             if ham <= 4:
                 want.append((a, b, ham))
     assert list(map(tuple, got.values)) == sorted(want)
+
+
+def test_cosine_pairs_chunked_matches_exact(spark, sf_dir):
+    """Multi-chunk block packing (bounded row size, VERDICT r2 #3) must
+    return exactly the numpy all-pairs answer, with every pair once."""
+    import numpy as np
+
+    from vector_tile_go_spark.similarity.ann import _normalize, cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120).cache()
+    pdf = emb.toPandas()
+    m = _normalize(np.array(list(pdf["embedding"]), dtype=np.float64))
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    sims = m @ m.T
+    r, c = np.where(sims >= 0.35)
+    keep = ids[r] < ids[c]
+    expected = set(zip(ids[r][keep].tolist(), ids[c][keep].tolist()))
+
+    got_rows = cosine_pairs(emb, threshold=0.35, n_blocks=3,
+                            chunks_per_block=4).collect()
+    got = [(row["va"], row["vb"]) for row in got_rows]
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    assert set(got) == expected
+    # single-chunk degenerate stays identical
+    got1 = {(row["va"], row["vb"]) for row in
+            cosine_pairs(emb, threshold=0.35, n_blocks=3,
+                         chunks_per_block=1).collect()}
+    assert got1 == expected

@@ -624,9 +624,12 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_cosine_pairs(spark, sf_dir):
+    """Block-matrix exact near-dup pairs; registered with multi-chunk block
+    rows (chunks_per_block=3) so the driver gate exercises the bounded-row
+    packing path, not just the single-chunk degenerate."""
     from .similarity.ann import cosine_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_pairs(emb, threshold=0.35)
+    return cosine_pairs(emb, threshold=0.35, chunks_per_block=3)
 
 
 Z_POLY = 5  # carrier zoom for the generic-geometry codec queries

@@ -232,62 +232,102 @@ def ivf_topk(embeddings: DataFrame, queries: pd.DataFrame, k: int = 10,
 
 def cosine_pairs(embeddings: DataFrame, threshold: float = 0.35,
                  vec_col: str = "embedding", key_col: str = "vec_id",
-                 n_blocks: int = 8) -> DataFrame:
+                 n_blocks: int = 8, chunks_per_block: int = 1) -> DataFrame:
     """Embedding near-dup pairs: (va, vb) with cosine >= threshold, va < vb.
 
     Exact DISTRIBUTED block-matrix plan — no driver-side collect anywhere:
-    vectors are hashed into ``n_blocks`` blocks, each block packed into one
-    row (groupBy + collect_list), and every block pair (bi <= bj) becomes
-    one task that runs a single BLAS matmul between the two blocks. Every
-    unordered pair of vectors lands in exactly one block-pair task, so the
-    output is exact with no dedup pass.
+    vectors are hashed into ``n_blocks`` blocks, each block stored as
+    ``chunks_per_block`` bounded sub-rows (so no single row ever nears
+    Spark's 2 GB binary/row ceiling), and every block pair (bi <= bj)
+    becomes one applyInPandas task that reassembles both blocks from their
+    chunk rows and runs chunk-sized BLAS matmuls. Every unordered pair of
+    vectors lands in exactly one block-pair task, so the output is exact
+    with no dedup pass.
 
-    Cost model at scale: communication O(n * n_blocks) (each block feeds
-    n_blocks tasks), flops O(n^2 * d / tasks) spread over
-    n_blocks*(n_blocks+1)/2 tasks, per-task memory = 2 blocks. Pick
-    n_blocks ~ sqrt(n * d * 8 / block_budget_bytes) so a block fits
-    comfortably in executor memory (e.g. 10^9 x 128-dim float64 vectors
-    with a 256 MB block budget -> n_blocks ~ 2000, ~2M tasks of ~1 GFLOP).
+    Cost model at scale: communication O(n * n_blocks) (each chunk row
+    feeds n_blocks tasks), flops O(n^2 * d / tasks) spread over
+    n_blocks*(n_blocks+1)/2 tasks, per-task memory = 2 blocks plus one
+    (chunk x block) sims panel. Pick n_blocks ~ sqrt(n * d * 8 /
+    block_budget_bytes) so a block fits comfortably in executor memory
+    (e.g. 10^9 x 128-dim float64 vectors with a 256 MB block budget ->
+    n_blocks ~ 2000, ~2M tasks of ~1 GFLOP), then chunks_per_block =
+    ceil(block_bytes / 64 MB) to bound row size and the sims panel.
     For corpora where even that flop count is infeasible, lsh_topk's
     bucketing is the approximate path."""
     spark = embeddings.sparkSession
     blocked = embeddings.select(key_col, vec_col).withColumn(
         "blk", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_blocks)).cast("int"))
-    packed = blocked.groupBy("blk").agg(
-        F.collect_list(F.struct(F.col(key_col).alias("id"),
-                                F.col(vec_col).alias("v"))).alias("items"))
-    # explicit block-pair driver table (B*(B+1)/2 tiny rows) + two broadcast
-    # equi-joins — not a non-equi nested-loop join
+    if chunks_per_block > 1:
+        chunk = F.pmod(F.xxhash64(F.col(key_col), F.lit("chunk")),
+                       F.lit(chunks_per_block)).cast("int")
+    else:
+        chunk = F.lit(0)
+    packed = (blocked.withColumn("chunk", chunk)
+              .groupBy("blk", "chunk")
+              .agg(F.collect_list(F.struct(F.col(key_col).alias("id"),
+                                           F.col(vec_col).alias("v")))
+                   .alias("items")))
+    # explicit block-pair driver table (B*(B+1)/2 tiny rows) + broadcast
+    # equi-joins — not a non-equi nested-loop join. Side 0 carries block
+    # bi's chunk rows, side 1 block bj's (diagonal pairs need only side 0).
     pair_rows = [(bi, bj) for bi in range(n_blocks)
                  for bj in range(bi, n_blocks)]
     pairs_df = spark.createDataFrame(pair_rows, "bi int, bj int")
-    L = packed.select(F.col("blk").alias("bi"), F.col("items").alias("ia"))
-    R = packed.select(F.col("blk").alias("bj"), F.col("items").alias("ib"))
-    bp = (F.broadcast(pairs_df).join(L, "bi").join(R, "bj")
-          .repartition(max(1, n_blocks * (n_blocks + 1) // 2), "bi", "bj"))
+    a_side = (F.broadcast(pairs_df)
+              .join(packed.withColumnRenamed("blk", "bi"), "bi")
+              .select("bi", "bj", F.lit(0).alias("side"), "items"))
+    b_side = (F.broadcast(pairs_df.filter("bi <> bj"))
+              .join(packed.withColumnRenamed("blk", "bj"), "bj")
+              .select("bi", "bj", F.lit(1).alias("side"), "items"))
+    bp = a_side.unionByName(b_side)
 
-    def unpack(items) -> tuple[np.ndarray, np.ndarray]:
-        ids = np.fromiter((it["id"] for it in items), dtype=np.int64,
-                          count=len(items))
-        m = _normalize(np.array([it["v"] for it in items], dtype=np.float64))
-        return ids, m
+    def unpack(items_col) -> tuple[np.ndarray, np.ndarray, list[int]]:
+        """Concatenate a side's chunk rows; returns ids, normalized matrix,
+        and the chunk row lengths (matmul panel boundaries)."""
+        ids_parts, vec_parts, lens = [], [], []
+        for items in items_col:
+            ids_parts.append(np.fromiter((it["id"] for it in items),
+                                         dtype=np.int64, count=len(items)))
+            vec_parts.append(np.array([it["v"] for it in items],
+                                      dtype=np.float64))
+            lens.append(len(items))
+        return (np.concatenate(ids_parts),
+                _normalize(np.vstack(vec_parts)), lens)
 
-    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for bi, bj, ia, ib in zip(pdf["bi"], pdf["bj"],
-                                      pdf["ia"], pdf["ib"]):
-                Ia, Ma = unpack(ia)
-                if bi == bj:
-                    sims = Ma @ Ma.T
-                    r, c = np.where(sims >= threshold)
-                    keep = Ia[r] < Ia[c]  # upper triangle: each pair once
-                    va, vb = Ia[r][keep], Ia[c][keep]
-                else:
-                    Ib, Mb = unpack(ib)
-                    sims = Ma @ Mb.T
-                    r, c = np.where(sims >= threshold)
-                    va = np.minimum(Ia[r], Ib[c])
-                    vb = np.maximum(Ia[r], Ib[c])
-                yield pd.DataFrame({"va": va, "vb": vb})
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame({"va": np.zeros(0, np.int64),
+                              "vb": np.zeros(0, np.int64)})
+        if not len(a):
+            return empty
+        bi = int(pdf["bi"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
+        Ia, Ma, lens = unpack(a["items"])
+        va_parts, vb_parts = [], []
+        if bi == bj:
+            # panel-at-a-time upper triangle: each unordered pair once via
+            # the id inequality, sims bounded to (chunk x block)
+            off = 0
+            for ln in lens:
+                sims = Ma[off:off + ln] @ Ma.T
+                r, c = np.where(sims >= threshold)
+                keep = Ia[off + r] < Ia[c]
+                va_parts.append(Ia[off + r][keep])
+                vb_parts.append(Ia[c][keep])
+                off += ln
+        else:
+            if not len(b):
+                return empty
+            Ib, Mb, _ = unpack(b["items"])
+            off = 0
+            for ln in lens:
+                sims = Ma[off:off + ln] @ Mb.T
+                r, c = np.where(sims >= threshold)
+                va_parts.append(np.minimum(Ia[off + r], Ib[c]))
+                vb_parts.append(np.maximum(Ia[off + r], Ib[c]))
+                off += ln
+        return pd.DataFrame({"va": np.concatenate(va_parts),
+                             "vb": np.concatenate(vb_parts)})
 
-    return bp.mapInPandas(pairs, "va bigint, vb bigint")
+    return bp.groupBy("bi", "bj").applyInPandas(pairs, "va bigint, vb bigint")
