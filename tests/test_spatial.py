@@ -189,3 +189,49 @@ def test_hex_cover_cells_rigor(spark):
     assigned = pdf.withColumn("hq", hq).withColumn("hr", hr).collect()
     for r in assigned:
         assert (r["hq"], r["hr"]) in cov[r["bid"]], r
+
+
+def test_raycast_1000_vertex_polygon_matches_scalar():
+    """VERDICT r2 #4: the panel-broadcast ray cast must agree with a
+    straightforward per-edge scalar cast on a real (wiggly-star, 1000
+    vertex) polygon plus a 400-vertex hole, over a dense point grid —
+    including points in the hole and outside."""
+    import numpy as np
+
+    from vector_tile_go_spark.spatial.pip import raycast_inside
+
+    rng = np.random.default_rng(7)
+
+    def star(n, r_lo, r_hi, cx=0.0, cy=0.0):
+        th = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+        r = rng.uniform(r_lo, r_hi, n)
+        return cx + r * np.cos(th), cy + r * np.sin(th)
+
+    outer_x, outer_y = star(1000, 0.7, 1.0)
+    hole_x, hole_y = star(400, 0.15, 0.3)
+
+    gx, gy = np.meshgrid(np.linspace(-1.2, 1.2, 60),
+                         np.linspace(-1.2, 1.2, 60))
+    px, py = gx.ravel(), gy.ravel()
+
+    def scalar_raycast(px, py, rings):
+        inside = np.zeros(len(px), dtype=bool)
+        for xs, ys in rings:
+            x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+            for i in range(len(xs)):
+                if ys[i] == y1[i]:
+                    continue
+                cond = (ys[i] <= py) != (y1[i] <= py)
+                t = (py - ys[i]) / (y1[i] - ys[i])
+                xint = xs[i] + t * (x1[i] - xs[i])
+                inside ^= cond & (px < xint)
+        return inside
+
+    expected = scalar_raycast(px, py, [(outer_x, outer_y), (hole_x, hole_y)])
+    got = raycast_inside(px, py, [outer_x, hole_x], [outer_y, hole_y])
+    assert (got == expected).all()
+    # sanity: the grid really covers all three regions
+    assert 0 < expected.sum() < len(px)
+    center = raycast_inside(np.array([0.0]), np.array([0.0]),
+                            [outer_x, hole_x], [outer_y, hole_y])
+    assert not center[0]  # dead center is in the hole

@@ -28,25 +28,44 @@ from . import cells
 COVER_ZOOM = 6
 
 
+_RAYCAST_PANEL = 4_000_000  # max floats per (edges x points) broadcast panel
+
+
 def raycast_inside(px: np.ndarray, py: np.ndarray,
                    ring_xs: list[np.ndarray], ring_ys: list[np.ndarray]) -> np.ndarray:
     """Vectorized even-odd ray cast of points against one polygon (rings
     incl. holes). Returns bool mask. Half-open edge rule (y0 <= y < y1)
-    keeps vertices from double-counting."""
-    inside = np.zeros(len(px), dtype=bool)
-    for xs, ys in zip(ring_xs, ring_ys):
-        x0, y0 = xs, ys
-        x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
-        for i in range(len(xs)):
-            a_y, b_y = y0[i], y1[i]
-            if a_y == b_y:
-                continue
-            cond = ((a_y <= py) != (b_y <= py))
-            with np.errstate(invalid="ignore"):
-                t = (py - a_y) / (b_y - a_y)
-                xint = x0[i] + t * (x1[i] - x0[i])
-            inside ^= cond & (px < xint)
-    return inside
+    keeps vertices from double-counting.
+
+    Fully array-side: all rings' edges are flattened into one edge table
+    and broadcast against the points in (edges x points) panels bounded by
+    ``_RAYCAST_PANEL`` floats — no per-edge Python iterations (the XOR over
+    edges is the parity of the crossing count, so a chunked sum + ``& 1``
+    is exact). O(edges) interpreted work becomes O(edges/panel)."""
+    npts = len(px)
+    if npts == 0:
+        return np.zeros(0, dtype=bool)
+    x0 = np.concatenate([np.asarray(xs, dtype=np.float64) for xs in ring_xs])
+    y0 = np.concatenate([np.asarray(ys, dtype=np.float64) for ys in ring_ys])
+    x1 = np.concatenate([np.roll(np.asarray(xs, dtype=np.float64), -1)
+                         for xs in ring_xs])
+    y1 = np.concatenate([np.roll(np.asarray(ys, dtype=np.float64), -1)
+                         for ys in ring_ys])
+    live = y0 != y1  # horizontal edges never cross the ray
+    x0, y0, x1, y1 = x0[live], y0[live], x1[live], y1[live]
+    if not len(x0):
+        return np.zeros(npts, dtype=bool)
+    step = max(1, _RAYCAST_PANEL // npts)
+    crossings = np.zeros(npts, dtype=np.int64)
+    for s in range(0, len(x0), step):
+        a_x, a_y = x0[s:s + step, None], y0[s:s + step, None]
+        b_x, b_y = x1[s:s + step, None], y1[s:s + step, None]
+        cond = (a_y <= py) != (b_y <= py)
+        with np.errstate(invalid="ignore"):
+            t = (py - a_y) / (b_y - a_y)
+            xint = a_x + t * (b_x - a_x)
+        crossings += (cond & (px < xint)).sum(axis=0)
+    return (crossings & 1).astype(bool)
 
 
 def _refine_candidates(cand: DataFrame, poly_key: str,
