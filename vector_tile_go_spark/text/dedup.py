@@ -208,12 +208,18 @@ def simhash(docs: DataFrame, text_col: str = "text",
     hash family (multi-table signatures wider than 60 bits).
 
     One aggregation with ``bits`` vote columns — the naive (key, bit) layout
-    explodes rows bits-x and needs two more shuffles for identical math."""
+    explodes rows bits-x and needs two more shuffles for identical math.
+
+    ONE shuffle total: per-doc token dedup is doc-local, so it runs
+    map-side as array_distinct(split(...)) instead of a global
+    DISTINCT(key, tok) exchange, and the exploded votes hit the groupBy's
+    partial aggregation — shuffle traffic is one combined row per doc per
+    map partition, not one row per (doc, token)."""
     if not 1 <= bits <= 60:
         raise ValueError("simhash bits must be in [1, 60]")
-    toks = (docs.select(key_col, F.explode(F.split(F.col(text_col), " "))
-                        .alias("tok"))
-            .filter(F.col("tok") != "").distinct()
+    toks = (docs.select(key_col, F.explode(F.array_distinct(
+                F.split(F.col(text_col), " "))).alias("tok"))
+            .filter(F.col("tok") != "")
             .withColumn("h", _h60(F.col("tok"), F.lit(seed))))
     aggs = [F.sum(F.expr(
         f"CASE WHEN (shiftrightunsigned(h, {b}) & 1) = 1 "
