@@ -186,14 +186,26 @@ def q_roundtrip_geometry(spark, sf_dir):
     whose recomputed z12 tile equals the carrier tile."""
     e = entities_df(spark, sf_dir)
     tiles = encode_point_tiles(e, layer_name="geo", prop_cols=("mention_idx",))
-    feats = decode_tiles(tiles, mode="lnglat")
-    tx, ty = geo.tile_xy_cols(ZOOM, F.col("lat"), F.col("lng"))
-    return (feats
-            .withColumn("rx", tx).withColumn("ry", ty)
-            .groupBy("z", "x", "y")
-            .agg(F.count("*").alias("n_decoded"),
-                 F.sum(((F.col("rx") == F.col("x")) &
-                        (F.col("ry") == F.col("y"))).cast("long")).alias("n_in_tile")))
+
+    # fused decode+aggregate (decode_tile_point_agg): the whole
+    # decode -> inverse-project -> re-derive-tile -> count chain runs
+    # inside the UDF, returning ONE row per tile instead of one per
+    # feature — the fused-decode treatment VERDICT r2 #6 asked for.
+    # tilemath.lnglat_to_tile replicates geo.tile_xy_cols op-for-op, so
+    # the result is identical to the unfused groupBy plan.
+    from . import tilemath as tm
+    from .sparkops.udfs import decode_tile_point_agg
+
+    def rt_agg(z, x, y, pxs, pys, exts):
+        import numpy as np
+        with np.errstate(invalid="ignore"):
+            lngs, lats = tm.project_tile_to_lnglat(pxs, pys, z, x, y, exts)
+            rx, ry = tm.lnglat_to_tile(lngs, lats, ZOOM)
+            n_in = int(((rx == x) & (ry == y)).sum())
+        return (len(pxs), n_in)
+
+    return decode_tile_point_agg(tiles, rt_agg,
+                                 "n_decoded bigint, n_in_tile bigint")
 
 
 def q_roundtrip_salted(spark, sf_dir):

@@ -536,6 +536,69 @@ def decode_tile_stats(tiles: DataFrame, layers: list[str] | None = None,
     return tiles.mapInPandas(stats, schema)
 
 
+def decode_tile_point_agg(tiles: DataFrame, agg_fn, agg_schema: str,
+                          layers: list[str] | None = None) -> DataFrame:
+    """Pluggable member of the fused decode+aggregate family
+    (decode_tile_stats is the count/distinct instance): ONE Arrow return
+    row per tile, with ``agg_fn(z, x, y, pxs, pys, extents) -> tuple``
+    computed inside the UDF over the tile's decoded first-coordinate
+    arrays (tile ints, float64; extents per point). Any per-tile aggregate
+    of point coordinates — count, in-tile check, bbox, cell histogram —
+    can ride this without paying the one-row-per-feature Arrow return
+    (the decode-return scaling bottleneck, BASELINE.md §scaling).
+
+    Coordinate semantics match decode_tiles(mode='int'): point layers via
+    the bulk decoder, other features contribute their first vertex, and
+    empty geometries contribute NaN (so counts include them, coordinate
+    predicates exclude them — same as the unfused groupBy plan)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codec.decode import bulk_point_layer, decode_feature, parse_tile
+        for pdf in batches:
+            rows = []
+            for z, x, y, buf in zip(pdf["z"], pdf["x"], pdf["y"],
+                                    pdf["tile_pbf"]):
+                if buf is None:
+                    continue
+                z, x, y = int(z), int(x), int(y)
+                xs_parts, ys_parts, ext_parts = [], [], []
+                for lf in parse_tile(bytes(buf)):
+                    if layers is not None and lf.name not in layers:
+                        continue
+                    bulk = bulk_point_layer(lf)
+                    if bulk is not None:
+                        # coords only: the dictionary-uniformity checks of
+                        # the props decoders don't apply here
+                        px, py = bulk[3], bulk[4]
+                        xs_parts.append(np.asarray(px, dtype=np.float64))
+                        ys_parts.append(np.asarray(py, dtype=np.float64))
+                        ext_parts.append(np.full(len(px), lf.extent,
+                                                 dtype=np.float64))
+                        continue
+                    for span in lf.feature_spans:
+                        f = decode_feature(lf, span, mode="int")
+                        if f is None:
+                            continue
+                        if len(f.xs):
+                            xs_parts.append(np.asarray(f.xs[:1], np.float64))
+                            ys_parts.append(np.asarray(f.ys[:1], np.float64))
+                        else:
+                            xs_parts.append(np.array([np.nan]))
+                            ys_parts.append(np.array([np.nan]))
+                        ext_parts.append(np.array([lf.extent], np.float64))
+                if not xs_parts:
+                    continue
+                rows.append((z, x, y, *agg_fn(
+                    z, x, y, np.concatenate(xs_parts),
+                    np.concatenate(ys_parts), np.concatenate(ext_parts))))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["z", "x", "y"] +
+                    [c.strip().split()[0] for c in agg_schema.split(",")])
+
+    return tiles.mapInPandas(run, f"z int, x bigint, y bigint, {agg_schema}")
+
+
 def encode_geobuf_tiles(entities: DataFrame,
                         prop_cols: tuple[str, ...] = ("url", "mention_idx"),
                         id_col: str = "doc_id",
