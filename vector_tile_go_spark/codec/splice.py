@@ -103,10 +103,22 @@ def get_last_point(lf: LayerFrame) -> tuple[int, int] | None:
     """get_last_point (read_feature_lazy.go:402-445): the last vertex of a
     layer's final feature — the cursor seed the reference's lazy append
     (ToLayerWrite, read_layer.go:196-232) installs before AddFeatureLazy.
+
     The engine exposes it for parity/diagnostics but does NOT seed appended
-    features with it: this codec is MVT-spec (cursor reset per feature,
-    decode.py:10-19), whereas the reference's continuation only round-trips
-    through its own absolute-MoveTo decoder (read_tile.go:231-235)."""
+    features with it, and source analysis shows the reference never does
+    either — its continuation machinery is dead code: AddFeatureLazy
+    immediately calls RefreshCursor() which resets LastPoint to (0,0)
+    (write_feature.go:97, write_layer.go:115-117), then copies the source
+    geometry bytes VERBATIM (feature.GeomBytes(); the cursor-encoding
+    branches at write_feature.go:125-155 are commented out). So no
+    reference-produced tile carries cross-feature continuation deltas, and
+    this codec's spec-mode append (cursor reset per feature) is byte-
+    compatible with the reference's actual append output. The one residual
+    decoder quirk — read_tile.go:231-236 reads later polygon-ring MoveTos
+    as ABSOLUTE while the reference's own encoder writes spec-relative ring
+    deltas (write_geometry.go:261-270) — is a reference self-roundtrip bug
+    for multi-ring polygons, not a parity gap this engine can or should
+    reproduce."""
     if not lf.feature_spans:
         return None
     f = decode_feature(lf, lf.feature_spans[-1], mode="int")
