@@ -455,6 +455,18 @@ def _assemble_polygons(feat: DecodedFeature):
         feat.poly_ring_counts = []
         feat.geojson_type = "MultiPolygon"
         return
+    if nr == 1 and lens[0] > 0:
+        # single-ring fast path (the dominant shape): one ring is always
+        # one polygon — no signed area, no cumsum machinery; just closure
+        xs, ys = feat.xs, feat.ys
+        if xs[0] != xs[-1] or ys[0] != ys[-1]:
+            xs = np.append(xs, xs[0])
+            ys = np.append(ys, ys[0])
+            feat.xs, feat.ys = xs, ys
+            feat.ring_lens = [lens[0] + 1]
+        feat.poly_ring_counts = [1]
+        feat.geojson_type = "Polygon"
+        return
     if min(lens) == 0:
         _assemble_polygons_perring(feat)
         return
