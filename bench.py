@@ -255,19 +255,40 @@ def run_pipeline_shard(cores: int, sf_dir: str, amplify: int,
              triangles_df(spark, sf_dir),
              point_cols=("doc_id", "mention_idx")).count()
 
+    def cpu_times():
+        # whole-host jiffies (user+nice, sys+irq+softirq, idle+iowait, steal):
+        # per-stage deltas attribute slow stages to compute vs kernel storm
+        # vs co-tenant steal vs blocked time — the honest-measurement
+        # instrumentation BASELINE.md's scaling sections rely on
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:9]]
+        return (v[0] + v[1], v[2] + v[5] + v[6], v[3] + v[4], v[7])
+
+    def cpu_mix(c0, c1):
+        tot = max(1, sum(b - a for a, b in zip(c0, c1)))
+        u, s, i, st = (b - a for a, b in zip(c0, c1))
+        return {"user_pct": round(100 * u / tot, 1),
+                "sys_pct": round(100 * s / tot, 1),
+                "idle_pct": round(100 * i / tot, 1),
+                "steal_pct": round(100 * st / tot, 1)}
+
     ents = amplified_entities(spark, sf_dir, amplify, shard, n_shards)
+    c0 = cpu_times()
     t0 = time.perf_counter()
     tiles = encode_point_tiles(ents, layer_name="geo",
                                prop_cols=("url", "mention_idx")).persist()
     n_tiles = tiles.count()
     t1 = time.perf_counter()
+    c1 = cpu_times()
     n_mentions = int(decode_tile_stats(tiles)
                      .agg(F.sum("n_features")).first()[0])
     t2 = time.perf_counter()
+    c2 = cpu_times()
     tri = triangles_df(spark, sf_dir)
     n_pip = pip_join(ents.select("lat", "lng", "doc_id", "mention_idx"),
                      tri, point_cols=("doc_id", "mention_idx")).count()
     t3 = time.perf_counter()
+    c3 = cpu_times()
     wall = t3 - t0
     tiles.unpersist()
     spark.stop()
@@ -275,7 +296,9 @@ def run_pipeline_shard(cores: int, sf_dir: str, amplify: int,
             "n_tiles": n_tiles, "n_mentions": n_mentions, "n_pip": n_pip,
             "encode_sec": round(t1 - t0, 3), "decode_sec": round(t2 - t1, 3),
             "pip_sec": round(t3 - t2, 3),
-            "pipeline_sec": round(wall, 3)}
+            "pipeline_sec": round(wall, 3),
+            "encode_cpu": cpu_mix(c0, c1), "decode_cpu": cpu_mix(c1, c2),
+            "pip_cpu": cpu_mix(c2, c3)}
 
 
 def run_scaling(sf_dir: str, amplify: int, n_execs: int = 4,
