@@ -78,6 +78,12 @@ def get_spark(app_name: str = "vector_tile_go_spark", cores: int | None = None,
         # --py-files zip for real clusters)
         .config("spark.python.daemon.module",
                 "vector_tile_go_spark.daemon_preload")
+        # executor<->worker traffic over unix domain sockets instead of
+        # loopback TCP: ~5% faster at the Arrow boundary here, and at
+        # cluster scale it sidesteps per-connection TCP state and loopback
+        # softirq entirely (worker sockets never leave the machine)
+        .config("spark.python.unix.domain.socket.enabled",
+                os.environ.get("SPARK_GRAFT_UDS", "true"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
