@@ -428,11 +428,18 @@ def main():
                     default=int(os.environ.get("SPARK_GRAFT_AMPLIFY", "96")))
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-cores", action="store_true")
+    ap.add_argument("--execs", type=int, default=4,
+                    help="executor count for --scaling (1 vs N); 2 is the "
+                         "shape this host measures cleanly — see "
+                         "BASELINE.md round 3")
+    ap.add_argument("--exec-cores", type=int, default=8)
     ap.add_argument("--pipeline-shard", type=int, default=None)
     ap.add_argument("--n-shards", type=int, default=1)
     args = ap.parse_args()
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir, args.amplify)))
+        print(json.dumps(run_scaling(args.sf_dir, args.amplify,
+                                     n_execs=args.execs,
+                                     cores_per_exec=args.exec_cores)))
     elif args.scaling_cores:
         print(json.dumps(run_scaling_cores(args.sf_dir, args.amplify)))
     elif args.pipeline_shard is not None:

@@ -496,13 +496,15 @@ def q_filter_layer(spark, sf_dir):
     mention_idx=0 features by verbatim byte splice (no geometry re-encode),
     then decode and count."""
     from .sparkops.compositing import filter_layer
-    from .sparkops.udfs import decode_tiles, encode_point_tiles
+    from .sparkops.udfs import decode_tile_stats, encode_point_tiles
     e = entities_df(spark, sf_dir)
     tiles = encode_point_tiles(e, layer_name="geo", prop_cols=("mention_idx",))
     kept = filter_layer(tiles, "geo",
                         lambda props, fid: props.get("mention_idx") == "0")
-    feats = decode_tiles(kept, mode="props")
-    return feats.groupBy("z", "x", "y").agg(F.count("*").alias("n_features"))
+    # fused decode+count: 1 Arrow-return row per tile and no post-decode
+    # shuffle (encode emits one row per tile, so the group is complete
+    # within the row) — same result as decode_tiles + groupBy count
+    return decode_tile_stats(kept).select("z", "x", "y", "n_features")
 
 
 def q_upsert_features(spark, sf_dir):
@@ -510,15 +512,17 @@ def q_upsert_features(spark, sf_dir):
     encode tiles from 2/3 of mentions, upsert the remaining 1/3, decode —
     final per-tile counts equal the full assignment."""
     from .sparkops.compositing import upsert_features
-    from .sparkops.udfs import decode_tiles, encode_point_tiles
+    from .sparkops.udfs import decode_tile_stats, encode_point_tiles
     e = entities_df(spark, sf_dir)
     existing = encode_point_tiles(e.filter(F.col("doc_id") % 3 != 0),
                                   layer_name="geo", prop_cols=("mention_idx",))
     new = e.filter(F.col("doc_id") % 3 == 0)
     merged = upsert_features(existing, new, layer_name="geo",
                              prop_cols=("mention_idx",))
-    feats = decode_tiles(merged, mode="props")
-    return feats.groupBy("z", "x", "y").agg(F.count("*").alias("n_features"))
+    # fused decode+count (see q_filter_layer): upsert emits one row per
+    # (tile, layer) and only layer "geo" exists, so per-tile counts need
+    # no shuffle
+    return decode_tile_stats(merged).select("z", "x", "y", "n_features")
 
 
 def q_upsert_splice(spark, sf_dir):
@@ -528,15 +532,17 @@ def q_upsert_splice(spark, sf_dir):
     appended features are encoded — O(appended bytes) per tile. Same
     invariant/oracle as the re-encode mode."""
     from .sparkops.compositing import upsert_features
-    from .sparkops.udfs import decode_tiles, encode_point_tiles
+    from .sparkops.udfs import decode_tile_stats, encode_point_tiles
     e = entities_df(spark, sf_dir)
     existing = encode_point_tiles(e.filter(F.col("doc_id") % 3 != 0),
                                   layer_name="geo", prop_cols=("mention_idx",))
     new = e.filter(F.col("doc_id") % 3 == 0)
     merged = upsert_features(existing, new, layer_name="geo",
                              prop_cols=("mention_idx",), mode="splice")
-    feats = decode_tiles(merged, mode="props")
-    return feats.groupBy("z", "x", "y").agg(F.count("*").alias("n_features"))
+    # fused decode+count (see q_upsert_features); also exercises the
+    # multi-frame path of decode_tile_stats — a spliced tile's appended
+    # features live in a second layer frame of the same buffer
+    return decode_tile_stats(merged).select("z", "x", "y", "n_features")
 
 
 # --- web-scale text / dedup / similarity operators --------------------------
