@@ -326,6 +326,74 @@ def _decode_geometry_cmds_py(cmds: list, n: int):
             np.asarray(ys, dtype=np.float64), ring_lens)
 
 
+def decode_geometry_cmds_ref_compat(cmds, geom_type: int):
+    """Reference-DECODER-parity walk (read_tile.go:222-280), opt-in.
+
+    The reference's eager decoder deviates from the MVT spec in two ways,
+    both reproduced here bit-for-bit so this engine can match the
+    reference's own decoded output on geometry the reference itself
+    round-trips:
+
+    - a part starts only at the literal command int 9 (MoveTo, count 1 —
+      read_tile.go:230); multi-count MoveTos never occur in its output.
+    - the first point of every part after the first is read as an
+      ABSOLUTE zigzag coordinate unless geom_type == 2 (read_tile.go:
+      231-235: ``pos != 1 && geom_type == 2`` continues the cursor, the
+      else branch does ``DeltaDim(geom[pos])`` with no cursor add). Per
+      spec (and this codec's default decoder) the cursor carries across
+      every part; for multi-ring polygons written by a spec encoder —
+      including the reference's OWN writer, write_geometry.go:261-270 —
+      the reference decoder therefore reconstructs later rings at the
+      wrong position. That asymmetry is the documented reason the default
+      stays spec-correct (see module docstring); this twin exists for
+      byte-parity testing against reference-decoded fixtures.
+
+    Same return shape as decode_geometry_cmds: (xs, ys, part_lens)."""
+    cmds = list(cmds)
+    n = len(cmds)
+    xs: list = []
+    ys: list = []
+    part_lens: list = []
+    pos = 0
+    cx = cy = 0
+    first = True
+    while pos < n:
+        if cmds[pos] == 9 and pos + 2 < n:
+            pos += 1
+            a, b = cmds[pos], cmds[pos + 1]
+            dxv = -((a + 1) >> 1) if a & 1 else a >> 1
+            dyv = -((b + 1) >> 1) if b & 1 else b >> 1
+            if not first and geom_type == 2:
+                cx += dxv
+                cy += dyv
+            else:
+                cx, cy = dxv, dyv  # ABSOLUTE restart (read_tile.go:234)
+            first = False
+            pos += 2
+            xs.append(cx)
+            ys.append(cy)
+            cur = 1
+            if pos < n:
+                # one following run, length taken from the raw int with NO
+                # command-id check (read_tile.go:243-245)
+                length = cmds[pos] >> 3
+                pos += 1
+                endpos = pos + length * 2
+                while pos < endpos and pos + 1 < n:
+                    a, b = cmds[pos], cmds[pos + 1]
+                    cx += -((a + 1) >> 1) if a & 1 else a >> 1
+                    cy += -((b + 1) >> 1) if b & 1 else b >> 1
+                    xs.append(cx)
+                    ys.append(cy)
+                    cur += 1
+                    pos += 2
+            part_lens.append(cur)
+        else:
+            pos += 1  # ClosePath(15) / anything else: skipped byte-wise
+    return (np.asarray(xs, dtype=np.float64),
+            np.asarray(ys, dtype=np.float64), part_lens)
+
+
 def _signed_area(ring: np.ndarray) -> float:
     """SignedArea (read_feature_lazy.go:34-51): shoelace with wrap term; the
     ring includes its closing duplicate point."""
