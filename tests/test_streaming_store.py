@@ -236,3 +236,75 @@ def test_salted_encode_hot_tile(spark, sf_dir):
     assert sum(len(f.feature_spans) for f in frames) == N
     stats = decode_tile_stats(tiles).first()
     assert stats["n_features"] == N and stats["n_urls"] == 97
+
+
+def test_expire_and_compact_maintenance(spark, tmp_path):
+    """The 100 TB maintenance pair: many small commits -> compaction folds
+    files per bucket, expiry bounds the snapshot chain, and resume/time
+    travel survive both."""
+    import glob
+
+    from vector_tile_go_spark.store.tilestore import (compact_snapshot,
+                                                      current_snapshot,
+                                                      expire_snapshots,
+                                                      read_tiles, resume_info,
+                                                      write_tiles)
+    store = str(tmp_path / "tiles")
+    df = (spark.range(64)
+          .select(F.lit(8).alias("z"), (F.col("id") % 4).alias("x"),
+                  (F.col("id") % 2).alias("y"), F.lit("geo").alias("layer"),
+                  F.lit(b"\x00").alias("tile_pbf"),
+                  F.lit(1).alias("n_features")))
+    snaps = [write_tiles(df, store, partition_buckets=4) for _ in range(4)]
+    assert current_snapshot(store) == snaps[-1]
+
+    # compaction commits a NEW snapshot with a lineage marker
+    comp = compact_snapshot(spark, store, partition_buckets=4)
+    info = resume_info(store)
+    assert info["snapshot_id"] == comp
+    assert info["meta"]["compaction_of"] == snaps[-1]
+    assert info["total_rows"] == 64
+    files = glob.glob(os.path.join(store, "snapshots", comp, "data",
+                                   "bucket=*", "*.parquet"))
+    # one file per (non-empty) bucket — 8 distinct tiles may hash into
+    # fewer than 4 buckets
+    assert len(files) == len(info["partitions"]) >= 2
+
+    # expiry keeps the last 2 of the chain, deletes the other 3 commits
+    deleted = expire_snapshots(store, keep_last=2)
+    assert set(deleted) == set(snaps[:-1])
+    assert sorted(os.listdir(os.path.join(store, "snapshots"))) == sorted(
+        [comp, snaps[-1]])
+    # current still reads; lineage walks only the surviving suffix
+    assert read_tiles(spark, store).count() == 64
+    assert resume_info(store)["lineage"] == [comp, snaps[-1]]
+    # time travel on a surviving parent still works
+    assert read_tiles(spark, store, snapshot_id=snaps[-1]).count() == 64
+
+
+def test_stream_upsert_with_expiry_bounds_store(spark, sf_dir, tmp_path):
+    """expire_keep_last on the streaming upsert bounds the snapshot chain
+    while the final table stays exactly correct."""
+    from vector_tile_go_spark.queries import entities_df
+    from vector_tile_go_spark.sparkops.udfs import decode_tiles
+    from vector_tile_go_spark.store.tilestore import read_tiles, resume_info
+    from vector_tile_go_spark.streaming.events import stream_upsert_tiles
+
+    e = entities_df(spark, sf_dir).select(
+        "z", "x", "y", "lng", "lat", "doc_id", "mention_idx")
+    n_total = e.count()
+    src_dir = str(tmp_path / "src")
+    e.repartition(4).write.parquet(src_dir)
+    stream = (spark.readStream.schema(e.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    store = str(tmp_path / "store")
+    q = stream_upsert_tiles(stream, store, str(tmp_path / "ckpt"),
+                            prop_cols=("mention_idx",), mode="splice",
+                            expire_keep_last=2)
+    q.awaitTermination()
+
+    snaps = os.listdir(os.path.join(store, "snapshots"))
+    assert len(snaps) == 2  # 4 micro-batches committed, chain bounded
+    assert len(resume_info(store)["lineage"]) == 2
+    assert decode_tiles(read_tiles(spark, store),
+                        mode="props").count() == n_total

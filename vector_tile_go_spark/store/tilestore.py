@@ -119,6 +119,57 @@ def resume_info(path: str) -> dict | None:
     return manifest
 
 
+def expire_snapshots(path: str, keep_last: int = 3) -> list[str]:
+    """Iceberg's expire_snapshots for the parquet store: physically delete
+    every snapshot except the most recent ``keep_last`` of the committed
+    lineage chain (the current snapshot is always kept). At 100 TB every
+    upsert cycle writes a full bucket set, so an unexpired store grows by
+    one table-size per commit — expiry is the difference between a
+    maintainable store and an unbounded one.
+
+    Time travel keeps working across the surviving suffix of the chain;
+    resume_info() already tolerates the truncated parent link (the chain
+    walk stops at the first missing manifest). Orphan snapshot directories
+    that are not on the committed chain (from jobs killed before their
+    CURRENT swap) are removed too — they were never visible to readers.
+    Returns the ids it deleted."""
+    import shutil
+
+    info = resume_info(path)
+    if info is None:
+        return []
+    keep = set(info["lineage"][:max(1, keep_last)])
+    snaps_dir = os.path.join(path, "snapshots")
+    deleted = []
+    for snap in sorted(os.listdir(snaps_dir)):
+        if snap in keep:
+            continue
+        shutil.rmtree(os.path.join(snaps_dir, snap), ignore_errors=True)
+        deleted.append(snap)
+    return deleted
+
+
+def compact_snapshot(spark: SparkSession, path: str,
+                     partition_buckets: int = 16) -> str | None:
+    """Iceberg's rewrite_data_files for the parquet store: rewrite the
+    current snapshot as one file per bucket and commit it as a new
+    snapshot (lineage preserved — the compaction is itself a snapshot
+    with a ``compaction_of`` meta marker, so it is time-travel-visible
+    and resumable like any other commit).
+
+    Streaming upserts commit a snapshot per micro-batch; after N batches
+    a bucket holds N small parquet files and every read pays N file
+    opens. Compaction folds them back to one file per bucket. Returns the
+    new snapshot id (None on an empty store)."""
+    current = current_snapshot(path)
+    if current is None:
+        return None
+    tiles = read_tiles(spark, path)
+    return write_tiles(tiles, path,
+                       snapshot_meta={"compaction_of": current},
+                       partition_buckets=partition_buckets)
+
+
 def write_tiles_bucketed(tiles: DataFrame, table_name: str,
                          n_buckets: int = 16) -> None:
     """Bucketed tile table (bucketBy + sortBy on the tile key, saveAsTable):

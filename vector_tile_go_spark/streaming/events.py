@@ -119,7 +119,8 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
 def stream_upsert_tiles(entity_stream: DataFrame, store_path: str,
                         checkpoint_path: str, layer_name: str = "geo",
                         prop_cols: tuple[str, ...] = ("mention_idx",),
-                        mode: str = "reencode"):
+                        mode: str = "reencode",
+                        expire_keep_last: int | None = None):
     """foreachBatch tile maintenance: merge each micro-batch of entities
     (z, x, y, lng, lat, doc_id, props...) into the parquet tile store.
     Exactly-once per batch via the streaming checkpoint + full-snapshot
@@ -128,10 +129,15 @@ def stream_upsert_tiles(entity_stream: DataFrame, store_path: str,
     ``mode="splice"`` uses the byte-splice lazy append
     (AddFeaturesToLayer parity) — the right choice for the streaming shape,
     where each micro-batch appends a few features into many large tiles:
-    O(appended bytes) instead of O(tile bytes) per touched tile."""
+    O(appended bytes) instead of O(tile bytes) per touched tile.
+
+    ``expire_keep_last``: run snapshot expiry after each commit, keeping
+    that many snapshots — a stream that commits one snapshot per
+    micro-batch otherwise grows the store by a full table-size per batch
+    (tilestore.expire_snapshots). Leave None to retain everything."""
     from ..sparkops.compositing import upsert_features
     from ..sparkops.udfs import encode_point_tiles
-    from ..store.tilestore import read_tiles, write_tiles
+    from ..store.tilestore import expire_snapshots, read_tiles, write_tiles
 
     def merge_batch(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
@@ -143,6 +149,8 @@ def stream_upsert_tiles(entity_stream: DataFrame, store_path: str,
             tiles = upsert_features(existing, batch_df, layer_name=layer_name,
                                     prop_cols=prop_cols, mode=mode)
         write_tiles(tiles, store_path, snapshot_meta={"batch_id": batch_id})
+        if expire_keep_last is not None:
+            expire_snapshots(store_path, keep_last=expire_keep_last)
 
     return (entity_stream.writeStream
             .foreachBatch(merge_batch)
