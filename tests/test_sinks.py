@@ -65,3 +65,36 @@ def test_mbtiles_sharded_covers_all_tiles(spark, sf_dir, tmp_path):
     for p in glob.glob(os.path.join(out, "shard-*.mbtiles")):
         got.update(_as_map(read_mbtiles(spark, p)))
     assert got == _as_map(tiles)
+
+
+def test_pmtiles_roundtrip_and_layout(spark, sf_dir, tmp_path):
+    """PMTiles v3 archive: exact (z,x,y,bytes) roundtrip through the
+    hilbert id and its inverse, spec header fields, and the clustered
+    invariant (tile data offsets non-decreasing in id order)."""
+    import gzip
+    import struct
+
+    from vector_tile_go_spark.store.sinks import (_pm_parse_dir,
+                                                  read_pmtiles,
+                                                  write_pmtiles)
+    tiles = _tiles(spark, sf_dir)
+    path = str(tmp_path / "tiles.pmtiles")
+    n = write_pmtiles(tiles, path, meta={"name": "t"})
+    assert n == tiles.count()
+    assert _as_map(read_pmtiles(spark, path)) == _as_map(tiles)
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[:7] == b"PMTiles" and buf[7] == 3
+    (root_off, root_len, m_off, m_len, leaf_off, leaf_len, t_off,
+     t_len) = struct.unpack_from("<8Q", buf, 8)
+    addressed, n_entries, n_contents = struct.unpack_from("<3Q", buf, 72)
+    assert (addressed, n_entries, n_contents) == (n, n, n)
+    clustered, int_comp, tile_comp, tile_type = buf[96:100]
+    assert (clustered, int_comp, tile_comp, tile_type) == (1, 2, 1, 1)
+    assert leaf_len == 0 and root_off == 127
+    entries = _pm_parse_dir(gzip.decompress(buf[root_off:root_off + root_len]))
+    ids = [e[0] for e in entries]
+    offs = [e[2] for e in entries]
+    assert ids == sorted(ids) and offs == sorted(offs)  # clustered
+    assert sum(e[3] for e in entries) == t_len
