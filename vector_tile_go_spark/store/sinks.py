@@ -308,7 +308,11 @@ def write_pmtiles(tiles: DataFrame, path: str, meta: dict | None = None) -> int:
     use the directory or sharded-MBTiles sinks for cluster-scale fan-out).
     Root-directory-only layout (fine into the hundreds of thousands of
     tiles); internal compression gzip; tile bytes stored raw (MVT).
-    Returns the number of tiles written."""
+    Multi-row tiles (same z/x/y from a partial union) should be
+    composited first (sparkops.compositing.composite) — unlike the
+    MBTiles sink's INSERT OR REPLACE, duplicate ids would produce
+    duplicate directory entries here. Returns the number of tiles
+    written."""
     import gzip
     import json as _json
     import struct
