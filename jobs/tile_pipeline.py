@@ -24,11 +24,14 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/tile_pipeline_out"
     zoom = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    keep_last = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 
     spark = SparkSession.builder.appName("tile_pipeline").getOrCreate()
 
     from vector_tile_go_spark.sparkops.udfs import encode_point_tiles
-    from vector_tile_go_spark.store.tilestore import resume_info, write_tiles
+    from vector_tile_go_spark.store.tilestore import (expire_snapshots,
+                                                      resume_info,
+                                                      write_tiles)
     from vector_tile_go_spark.text.pages import (assign_tiles, build_pages,
                                                  extract_geo_entities)
 
@@ -45,6 +48,11 @@ def main() -> None:
     info = resume_info(out_dir)
     print(f"SNAPSHOT {snap_id} rows={info['total_rows']} "
           f"partitions={len(info['partitions'])}")
+    # store maintenance: bound the snapshot chain (a scheduled production
+    # job commits one table-size per run; unexpired stores grow forever)
+    expired = expire_snapshots(out_dir, keep_last=keep_last)
+    if expired:
+        print(f"EXPIRED {len(expired)} snapshots (keep_last={keep_last})")
     spark.stop()
 
 
