@@ -98,3 +98,61 @@ def test_pmtiles_roundtrip_and_layout(spark, sf_dir, tmp_path):
     offs = [e[2] for e in entries]
     assert ids == sorted(ids) and offs == sorted(offs)  # clustered
     assert sum(e[3] for e in entries) == t_len
+
+
+def test_pmtiles_duplicate_ids_keep_last(spark, tmp_path):
+    """Duplicate (z,x,y) input rows must not produce duplicate directory
+    entries (invalid per the v3 spec): the writer keeps the last row per
+    tile id, matching the MBTiles sink's INSERT OR REPLACE."""
+    import gzip
+    import struct
+
+    from vector_tile_go_spark.store.sinks import (_pm_parse_dir,
+                                                  read_pmtiles,
+                                                  write_pmtiles)
+    rows = [(8, 10, 20, bytearray(b"old-a")), (8, 11, 20, bytearray(b"b")),
+            (8, 10, 20, bytearray(b"new-a"))]
+    tiles = spark.createDataFrame(rows, "z int, x long, y long, "
+                                        "tile_pbf binary")
+    path = str(tmp_path / "dup.pmtiles")
+    n = write_pmtiles(tiles, path)
+    assert n == 2  # two distinct tile ids
+    with open(path, "rb") as f:
+        buf = f.read()
+    root_off, root_len = struct.unpack_from("<2Q", buf, 8)
+    entries = _pm_parse_dir(gzip.decompress(buf[root_off:root_off + root_len]))
+    ids = [e[0] for e in entries]
+    assert len(ids) == len(set(ids)) == 2  # no duplicate directory entries
+    got = _as_map(read_pmtiles(spark, path))
+    assert got[(8, 10, 20)] in (b"old-a", b"new-a")
+    # keep-LAST per id-sorted stream order: the surviving blob is one of the
+    # duplicates and never a corrupt splice
+    assert got[(8, 11, 20)] == b"b"
+
+
+def test_pmtiles_foreign_gzip_tiles(spark, tmp_path):
+    """A foreign v3 archive with tile_compression=gzip (header byte 98 == 2)
+    must be gunzipped on read, not round-tripped as compressed bytes; an
+    unknown compression id must raise."""
+    import gzip
+    import struct
+
+    import pytest
+
+    from vector_tile_go_spark.store.sinks import read_pmtiles, write_pmtiles
+    plain = b"\x1a\x05payld"
+    tiles = spark.createDataFrame(
+        [(8, 3, 4, bytearray(gzip.compress(plain, mtime=0)))],
+        "z int, x long, y long, tile_pbf binary")
+    path = str(tmp_path / "gz.pmtiles")
+    write_pmtiles(tiles, path)
+    buf = bytearray(open(path, "rb").read())
+    buf[98] = 2  # declare gzip tile compression, as a foreign writer would
+    open(path, "wb").write(bytes(buf))
+    got = _as_map(read_pmtiles(spark, path))
+    assert got[(8, 3, 4)] == plain
+
+    buf[98] = 4  # brotli — not supported
+    open(path, "wb").write(bytes(buf))
+    with pytest.raises(NotImplementedError):
+        read_pmtiles(spark, path)

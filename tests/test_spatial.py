@@ -235,3 +235,54 @@ def test_raycast_1000_vertex_polygon_matches_scalar():
     center = raycast_inside(np.array([0.0]), np.array([0.0]),
                             [outer_x, hole_x], [outer_y, hole_y])
     assert not center[0]  # dead center is in the hole
+
+
+def test_pip_join_rings_1000_vertex_multiring(spark):
+    """First-class multi-ring PIP join end-to-end: a 1000-vertex wiggly
+    polygon with a 400-vertex hole PLUS a disjoint second part, shipped as
+    one rings-table row through cover cells + refine; must match the
+    scalar per-edge even-odd cast for every point."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_tile_go_spark.spatial.pip import pip_join_rings, raycast_inside
+
+    rng = np.random.default_rng(11)
+
+    def star(n, r_lo, r_hi, cx=0.0, cy=0.0):
+        th = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+        r = rng.uniform(r_lo, r_hi, n)
+        return cx + r * np.cos(th), cy + r * np.sin(th)
+
+    outer_x, outer_y = star(1000, 7.0, 10.0)
+    hole_x, hole_y = star(400, 1.5, 3.0)
+    part_x, part_y = star(50, 1.0, 2.0, cx=25.0, cy=5.0)
+    rings_xs = [outer_x.tolist(), hole_x.tolist(), part_x.tolist()]
+    rings_ys = [outer_y.tolist(), hole_y.tolist(), part_y.tolist()]
+    all_x = np.concatenate([outer_x, hole_x, part_x])
+    all_y = np.concatenate([outer_y, hole_y, part_y])
+    polys = spark.createDataFrame(
+        pd.DataFrame({"n_nationkey": [7], "rings_xs": [rings_xs],
+                      "rings_ys": [rings_ys],
+                      "west": [all_x.min()], "south": [all_y.min()],
+                      "east": [all_x.max()], "north": [all_y.max()]}))
+
+    gx, gy = np.meshgrid(np.linspace(-12, 28, 50), np.linspace(-12, 12, 40))
+    px, py = gx.ravel(), gy.ravel()
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lat": py, "lng": px,
+                      "doc_id": np.arange(len(px), dtype=np.int64)}))
+
+    got = {r["doc_id"] for r in
+           pip_join_rings(pts, polys, point_cols=("doc_id",)).collect()}
+    expected_mask = raycast_inside(
+        px, py, [outer_x, hole_x, part_x], [outer_y, hole_y, part_y])
+    expected = set(np.nonzero(expected_mask)[0].tolist())
+    assert got == expected
+    # the fixture really exercises all three regions
+    assert raycast_inside(np.array([25.0]), np.array([5.0]),
+                          [outer_x, hole_x, part_x],
+                          [outer_y, hole_y, part_y])[0]  # in 2nd part
+    assert not raycast_inside(np.array([0.0]), np.array([0.0]),
+                              [outer_x, hole_x, part_x],
+                              [outer_y, hole_y, part_y])[0]  # in hole

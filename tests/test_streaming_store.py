@@ -308,3 +308,36 @@ def test_stream_upsert_with_expiry_bounds_store(spark, sf_dir, tmp_path):
     assert len(resume_info(store)["lineage"]) == 2
     assert decode_tiles(read_tiles(spark, store),
                         mode="props").count() == n_total
+
+
+def test_expire_spares_inflight_orphan(spark, tmp_path):
+    """expire_snapshots must not delete a concurrent writer's in-flight
+    snapshot dir (data written, CURRENT not yet swapped): young orphans
+    survive the grace window, stale orphans are still collected."""
+    from vector_tile_go_spark.store.tilestore import (expire_snapshots,
+                                                      write_tiles)
+    store = str(tmp_path / "tiles")
+    df = (spark.range(8)
+          .select(F.lit(8).alias("z"), (F.col("id") % 4).alias("x"),
+                  (F.col("id") % 2).alias("y"), F.lit("geo").alias("layer"),
+                  F.lit(b"\x00").alias("tile_pbf"),
+                  F.lit(1).alias("n_features")))
+    snaps = [write_tiles(df, store, partition_buckets=2) for _ in range(3)]
+
+    snaps_dir = os.path.join(store, "snapshots")
+    young = os.path.join(snaps_dir, "zz-inflight-young")
+    stale = os.path.join(snaps_dir, "zz-orphan-stale")
+    os.makedirs(young)
+    os.makedirs(stale)
+    old = 1_000_000.0
+    os.utime(stale, (old, old))
+
+    deleted = expire_snapshots(store, keep_last=2, orphan_grace_sec=600)
+    # expired chain ancestor + stale orphan go; the young in-flight dir stays
+    assert set(deleted) == {snaps[0], "zz-orphan-stale"}
+    assert os.path.isdir(young)
+    assert not os.path.isdir(stale)
+    # once past the grace window it is collected like any orphan
+    os.utime(young, (old, old))
+    assert expire_snapshots(store, keep_last=2,
+                            orphan_grace_sec=600) == ["zz-inflight-young"]

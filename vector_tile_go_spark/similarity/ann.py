@@ -230,9 +230,28 @@ def ivf_topk(embeddings: DataFrame, queries: pd.DataFrame, k: int = 10,
             .select("qid", "rank", F.col(key_col).alias("vec_id")))
 
 
+def cosine_block_plan(n_vectors: int, dim: int,
+                      block_budget_bytes: int = 256 << 20,
+                      chunk_budget_bytes: int = 64 << 20) -> tuple[int, int]:
+    """The cosine_pairs cost model, executable: pick (n_blocks,
+    chunks_per_block) so a block's float64 matrix fits the per-task block
+    budget and each chunk row (and its (chunk x block) sims panel) stays
+    under the chunk budget. n_blocks ~ n_vectors*dim*8 / block_budget,
+    chunks_per_block = ceil(block_bytes / chunk_budget); both floored at
+    1. At 10^9 x 128-dim this yields ~4000 blocks / 4 chunks — the written
+    100 TB sizing from the docstring below, now a function callers (and
+    tests) can exercise instead of prose."""
+    total_bytes = max(1, n_vectors) * max(1, dim) * 8
+    n_blocks = max(1, -(-total_bytes // block_budget_bytes))
+    block_bytes = -(-total_bytes // n_blocks)
+    chunks_per_block = max(1, -(-block_bytes // chunk_budget_bytes))
+    return int(n_blocks), int(chunks_per_block)
+
+
 def cosine_pairs(embeddings: DataFrame, threshold: float = 0.35,
                  vec_col: str = "embedding", key_col: str = "vec_id",
-                 n_blocks: int = 8, chunks_per_block: int = 1) -> DataFrame:
+                 n_blocks: int | None = 8,
+                 chunks_per_block: int | None = 1) -> DataFrame:
     """Embedding near-dup pairs: (va, vb) with cosine >= threshold, va < vb.
 
     Exact DISTRIBUTED block-matrix plan — no driver-side collect anywhere:
@@ -247,14 +266,29 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.35,
     Cost model at scale: communication O(n * n_blocks) (each chunk row
     feeds n_blocks tasks), flops O(n^2 * d / tasks) spread over
     n_blocks*(n_blocks+1)/2 tasks, per-task memory = 2 blocks plus one
-    (chunk x block) sims panel. Pick n_blocks ~ sqrt(n * d * 8 /
+    (chunk x block) sims panel. Pick n_blocks = ceil(n * d * 8 /
     block_budget_bytes) so a block fits comfortably in executor memory
     (e.g. 10^9 x 128-dim float64 vectors with a 256 MB block budget ->
-    n_blocks ~ 2000, ~2M tasks of ~1 GFLOP), then chunks_per_block =
-    ceil(block_bytes / 64 MB) to bound row size and the sims panel.
+    ~3800 blocks, ~7M tasks), then chunks_per_block =
+    ceil(block_bytes / 64 MB) to bound row size and the sims panel —
+    exactly what cosine_block_plan computes.
     For corpora where even that flop count is infeasible, lsh_topk's
-    bucketing is the approximate path."""
+    bucketing is the approximate path.
+
+    Pass ``n_blocks=None`` to auto-size via cosine_block_plan (one
+    count() + one first() to read n and dim; chunks_per_block is derived
+    too unless given explicitly)."""
     spark = embeddings.sparkSession
+    if n_blocks is None:
+        n = embeddings.count()
+        first = embeddings.select(vec_col).first()
+        dim = len(first[0]) if first else 1
+        auto_blocks, auto_chunks = cosine_block_plan(n, dim)
+        n_blocks = auto_blocks
+        if chunks_per_block is None:
+            chunks_per_block = auto_chunks
+    elif chunks_per_block is None:
+        chunks_per_block = 1
     blocked = embeddings.select(key_col, vec_col).withColumn(
         "blk", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_blocks)).cast("int"))
     if chunks_per_block > 1:

@@ -550,7 +550,13 @@ def decode_tile_point_agg(tiles: DataFrame, agg_fn, agg_schema: str,
     Coordinate semantics match decode_tiles(mode='int'): point layers via
     the bulk decoder, other features contribute their first vertex, and
     empty geometries contribute NaN (so counts include them, coordinate
-    predicates exclude them — same as the unfused groupBy plan)."""
+    predicates exclude them — same as the unfused groupBy plan).
+
+    INPUT CONTRACT (same as decode_tile_stats): ONE row per (z, x, y)
+    tile key. The aggregate runs per input ROW, not per key — feeding a
+    key split across multiple rows yields duplicate (z, x, y) output
+    rows, diverging from the unfused decode+groupBy plan. Composite
+    partial-union tiles first (sparkops.compositing.composite)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codec.decode import bulk_point_layer, decode_feature, parse_tile

@@ -69,11 +69,17 @@ def raycast_inside(px: np.ndarray, py: np.ndarray,
 
 
 def _refine_candidates(cand: DataFrame, poly_key: str,
-                       point_cols: tuple[str, ...]) -> DataFrame:
+                       point_cols: tuple[str, ...],
+                       multi_ring: bool = False) -> DataFrame:
     """Shared exact refine for any cover prefilter: even-odd ray cast of
     candidate (point, polygon) rows, vectorized per polygon group within
     each Arrow batch. Used by both the quadtree and hex PIP joins so the
-    refine semantics can never diverge between index types."""
+    refine semantics can never diverge between index types.
+
+    ``multi_ring=False`` reads single-ring rows (xs, ys arrays);
+    ``multi_ring=True`` reads rings-with-holes rows (rings_xs, rings_ys
+    arrays of arrays) — raycast_inside already XORs crossing parity over
+    all rings, so holes and MultiPolygon parts need no extra logic."""
     out_schema = ", ".join(
         [f"{poly_key} bigint"] +
         [f"{c} bigint" for c in point_cols] + ["lat double", "lng double"])
@@ -87,9 +93,15 @@ def _refine_candidates(cand: DataFrame, poly_key: str,
             py = pdf["lat"].to_numpy()
             for key, idx in pdf.groupby(poly_key).groups.items():
                 loc = pdf.index.get_indexer(idx)
-                xs = np.asarray(pdf["xs"].iloc[loc[0]], dtype=np.float64)
-                ys = np.asarray(pdf["ys"].iloc[loc[0]], dtype=np.float64)
-                keep[loc] = raycast_inside(px[loc], py[loc], [xs], [ys])
+                if multi_ring:
+                    xs = [np.asarray(r, dtype=np.float64)
+                          for r in pdf["rings_xs"].iloc[loc[0]]]
+                    ys = [np.asarray(r, dtype=np.float64)
+                          for r in pdf["rings_ys"].iloc[loc[0]]]
+                else:
+                    xs = [np.asarray(pdf["xs"].iloc[loc[0]], dtype=np.float64)]
+                    ys = [np.asarray(pdf["ys"].iloc[loc[0]], dtype=np.float64)]
+                keep[loc] = raycast_inside(px[loc], py[loc], xs, ys)
             kept = pdf.loc[keep]
             yield kept[[poly_key, *point_cols, "lat", "lng"]]
 
@@ -101,7 +113,7 @@ def pip_join(points: DataFrame, polygons: DataFrame,
              poly_key: str = "n_nationkey") -> DataFrame:
     """points(lat, lng, *point_cols) ⋈ polygons(poly_key, xs, ys, bbox) ->
     matched pairs. polygons rings here are single-ring (xs, ys arrays);
-    multi-ring callers pre-explode rings and group crossing counts."""
+    real polygons with holes / MultiPolygons go through pip_join_rings."""
     pts = points.select("lat", "lng", *point_cols)
     gx, gy = cells.tile_cell_cols(COVER_ZOOM, F.col("lat"), F.col("lng"))
     pts = pts.withColumn("cx", gx).withColumn("cy", gy)
@@ -109,6 +121,26 @@ def pip_join(points: DataFrame, polygons: DataFrame,
     cov = cells.cover_cells(polygons, COVER_ZOOM)
     cand = pts.join(F.broadcast(cov), ["cx", "cy"])
     return _refine_candidates(cand, poly_key, point_cols)
+
+
+def pip_join_rings(points: DataFrame, polygons: DataFrame,
+                   point_cols: tuple[str, ...] = ("doc_id",),
+                   poly_key: str = "n_nationkey") -> DataFrame:
+    """First-class multi-ring PIP join: polygons(poly_key,
+    rings_xs: array<array<double>>, rings_ys, west, south, east, north)
+    — real polygons with holes and MultiPolygon parts, the shape a user
+    gets from admin boundaries. Same two-phase plan as pip_join (the
+    cover cells come from the all-rings bbox; the refine XORs crossing
+    parity across every ring, which is exact even-odd semantics for
+    holes and disjoint parts alike). Mirrors the reference's ring
+    assembly model (read_feature_lazy.go:232-264)."""
+    pts = points.select("lat", "lng", *point_cols)
+    gx, gy = cells.tile_cell_cols(COVER_ZOOM, F.col("lat"), F.col("lng"))
+    pts = pts.withColumn("cx", gx).withColumn("cy", gy)
+
+    cov = cells.cover_cells(polygons, COVER_ZOOM)
+    cand = pts.join(F.broadcast(cov), ["cx", "cy"])
+    return _refine_candidates(cand, poly_key, point_cols, multi_ring=True)
 
 
 def pip_join_hex(points: DataFrame, polygons: DataFrame,

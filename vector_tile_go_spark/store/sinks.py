@@ -309,9 +309,10 @@ def write_pmtiles(tiles: DataFrame, path: str, meta: dict | None = None) -> int:
     Root-directory-only layout (fine into the hundreds of thousands of
     tiles); internal compression gzip; tile bytes stored raw (MVT).
     Multi-row tiles (same z/x/y from a partial union) should be
-    composited first (sparkops.compositing.composite) — unlike the
-    MBTiles sink's INSERT OR REPLACE, duplicate ids would produce
-    duplicate directory entries here. Returns the number of tiles
+    composited first (sparkops.compositing.composite); if duplicate ids
+    do arrive, the writer keeps the LAST row per tile id (MBTiles
+    INSERT OR REPLACE parity) rather than emitting duplicate directory
+    entries, which the v3 spec forbids. Returns the number of tiles
     written."""
     import gzip
     import json as _json
@@ -336,7 +337,15 @@ def write_pmtiles(tiles: DataFrame, path: str, meta: dict | None = None) -> int:
     tile_blobs = bytearray()
     for r in ordered.toLocalIterator():
         blob = bytes(r["tile_pbf"])
-        entries.append((int(r["tile_id"]), len(tile_blobs), len(blob)))
+        tid = int(r["tile_id"])
+        if entries and entries[-1][0] == tid:
+            # duplicate (z,x,y): keep-last, replacing the previous entry
+            # (the id-sorted stream makes dupes adjacent; the superseded
+            # blob stays as dead bytes, the directory stays spec-valid)
+            entries[-1] = (tid, len(tile_blobs), len(blob))
+            tile_blobs += blob
+            continue
+        entries.append((tid, len(tile_blobs), len(blob)))
         tile_blobs += blob
         zs.append(int(r["z"]))
         xs.append(int(r["x"]))
@@ -397,6 +406,11 @@ def read_pmtiles(spark, path: str) -> DataFrame:
     if leaf_len:
         raise NotImplementedError("leaf directories not written by this sink")
     internal_comp = buf[97]
+    tile_comp = buf[98]
+    if tile_comp not in (0, 1, 2):  # unknown/none/gzip per v3 spec
+        raise NotImplementedError(
+            f"PMTiles tile_compression={tile_comp} not supported "
+            "(only none/gzip)")
     raw = buf[root_off:root_off + root_len]
     entries = _pm_parse_dir(gzip.decompress(raw) if internal_comp == 2
                             else raw)
@@ -423,6 +437,8 @@ def read_pmtiles(spark, path: str) -> DataFrame:
                 d //= 4
                 s <<= 1
             blob = buf[tile_off + off:tile_off + off + length]
+            if tile_comp == 2:  # foreign archive with gzip-compressed tiles
+                blob = gzip.decompress(blob)
             rows.append((z, x, y, blob))
     pdf = pd.DataFrame(rows, columns=["z", "x", "y", "tile_pbf"])
     pdf["z"] = pdf["z"].astype(np.int32)

@@ -119,7 +119,8 @@ def resume_info(path: str) -> dict | None:
     return manifest
 
 
-def expire_snapshots(path: str, keep_last: int = 3) -> list[str]:
+def expire_snapshots(path: str, keep_last: int = 3,
+                     orphan_grace_sec: float = 600.0) -> list[str]:
     """Iceberg's expire_snapshots for the parquet store: physically delete
     every snapshot except the most recent ``keep_last`` of the committed
     lineage chain (the current snapshot is always kept). At 100 TB every
@@ -131,20 +132,37 @@ def expire_snapshots(path: str, keep_last: int = 3) -> list[str]:
     resume_info() already tolerates the truncated parent link (the chain
     walk stops at the first missing manifest). Orphan snapshot directories
     that are not on the committed chain (from jobs killed before their
-    CURRENT swap) are removed too — they were never visible to readers.
+    CURRENT swap) are removed too — they were never visible to readers —
+    but only once they are older than ``orphan_grace_sec``: a directory
+    younger than the grace window may be a *concurrent* writer's in-flight
+    snapshot (data written, CURRENT not yet swapped), and deleting it would
+    let that writer commit CURRENT pointing at a vanished dir (the same
+    race Iceberg's remove_orphan_files guards with its retention interval).
     Returns the ids it deleted."""
     import shutil
+    import time
 
     info = resume_info(path)
     if info is None:
         return []
     keep = set(info["lineage"][:max(1, keep_last)])
+    on_chain = set(info["lineage"])
     snaps_dir = os.path.join(path, "snapshots")
+    now = time.time()
     deleted = []
     for snap in sorted(os.listdir(snaps_dir)):
         if snap in keep:
             continue
-        shutil.rmtree(os.path.join(snaps_dir, snap), ignore_errors=True)
+        snap_dir = os.path.join(snaps_dir, snap)
+        if snap not in on_chain:
+            # orphan: apply the concurrent-writer grace window
+            try:
+                age = now - os.path.getmtime(snap_dir)
+            except OSError:
+                continue
+            if age < orphan_grace_sec:
+                continue
+        shutil.rmtree(snap_dir, ignore_errors=True)
         deleted.append(snap)
     return deleted
 

@@ -139,3 +139,38 @@ SELECT {key_expr} AS doc_id,
        len(list_filter({retoks}, t -> regexp_matches(t, '^[^a-zA-Z0-9]$'))) AS n_punct,
        len(list_filter({toks}, t -> t IN ('{stop}'))) AS n_stopwords
 FROM documents"""
+
+
+def sql_fingerprint_winnow(k: int = 8, window: int = 4) -> str:
+    """DuckDB twin of fingerprint_winnow, exploded to (doc_id, fp) rows.
+
+    Replays the numpy kernel exactly: per-position rolling polynomial hash
+    sum(byte[i+j] * B^(k-1-j)) mod 2^64 (HUGEINT intermediates, wraparound
+    via % 2^64 — the powers are precomputed mod-2^64 constants, matching
+    numpy's uint64 overflow), window-min per sliding window, DISTINCT of
+    the 63-bit-masked mins. Valid because the corpus is pure ASCII
+    (unicode(char) == byte value; asserted in the pytest twin)."""
+    P = [pow(1000003, k - 1 - j, 1 << 64) for j in range(k)]
+    terms = " + ".join(
+        f"CAST(LEAD(c, {j}) OVER w AS HUGEINT) * {P[j]}" if j else
+        f"CAST(c AS HUGEINT) * {P[0]}" for j in range(k))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, i, unicode(substr(text, CAST(i AS INT), 1)) AS c
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)
+),
+hs AS (
+  SELECT doc_id, i, ({terms}) % 18446744073709551616 AS h,
+         LEAD(c, {k - 1}) OVER w IS NOT NULL AS valid
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+mins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM hs WHERE valid
+)
+SELECT DISTINCT doc_id, CAST(m % 9223372036854775808 AS BIGINT) AS fp
+FROM mins WHERE rn <= GREATEST(cnt - {window - 1}, 1)"""
