@@ -130,7 +130,13 @@ def minhash_signature_table(docs: DataFrame, n: int = 3,
     a < 2^29, b < 2^60 -> every intermediate < 2^63."""
     sh = shingles if shingles is not None else word_shingles(
         docs, n, text_col, key_col)
-    h0 = _h60(F.col("shingle"), F.lit(0))
+    # materialize the md5 hash ONCE per shingle row in a projection below
+    # the aggregate: the 16 min() expressions are separate aggregate
+    # functions, so codegen does not common-subexpression the md5 across
+    # them — inlined, every row paid 16 md5+conv evaluations (profiled:
+    # the signature stage dominated the whole LSH query)
+    sh = sh.select(key_col, _h60(F.col("shingle"), F.lit(0)).alias("h0"))
+    h0 = F.col("h0")
     hi = F.shiftrightunsigned(h0, 30)            # < 2^30
     lo = h0.bitwiseAND(F.lit((1 << 30) - 1))     # < 2^30
 
