@@ -52,11 +52,17 @@ def escalating_knn(q: DataFrame, p: DataFrame, k: int, qkey: str,
     rad = 1
     for _ in range(max_rounds):
         exp = expand_fn(pending, rad)
+        # localCheckpoint: cand is dimension-sized after the top-k filter
+        # (<= k rows per pending query), but downstream it feeds stats,
+        # the semi-join emit, AND the final results checkpoint — without
+        # materialization the ring join + window would re-run ~3x per
+        # round (measured: the whole kNN query dropped ~40% at bench shape)
         cand = (exp.join(p, join_on(exp, p)).drop(*drop_cols)
                 .withColumn("dist2", dist2)
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
-                .withColumn("__margin", margin_fn(rad)))
+                .withColumn("__margin", margin_fn(rad))
+                .localCheckpoint())
         stats = (cand.groupBy(qkey)
                  .agg(F.count("*").alias("nc"), F.max("dist2").alias("kth"),
                       F.first("__margin").alias("m")))
