@@ -63,3 +63,67 @@ def test_fused_equals_unfused_after_splice_upsert(spark):
         assert sum(fused.values()) == e.count()
     finally:
         merged.unpersist()
+
+
+def test_bulk_tile_stats_kernel_edges():
+    """Unit edges of the cross-tile fused kernel (round 4): exact parity
+    with the per-tile walk on conforming tiles, fallback (handled=False)
+    on multi-layer and corrupt buffers, distinct counts with and without
+    the prop present, zero-prop tiles."""
+    import numpy as np
+
+    from vector_tile_go_spark.codec.decode import (bulk_point_tile_stats,
+                                                   bulk_point_layer,
+                                                   decode_feature,
+                                                   parse_tile)
+    from vector_tile_go_spark.codec.encode import encode_layer
+    from vector_tile_go_spark import tilemath as tm
+
+    rng = np.random.default_rng(5)
+    z = 9
+
+    def tile(tx, ty, k, props=True, fid0=False, name="geo"):
+        w, s, e, n = tm.tile_bounds(z, tx, ty)
+        feats = []
+        for i in range(k):
+            f = {"id": None if (fid0 and i == 0) else i + 1,
+                 "type": "Point",
+                 "coordinates": [w + (e - w) * rng.random(),
+                                 s + (n - s) * rng.random()],
+                 "properties": ({"url": f"u{i % 3}", "mention_idx": str(i)}
+                                if props else {})}
+            feats.append(f)
+        return encode_layer(feats, z, tx, ty, name, extent_clamp=True)
+
+    bufs = [
+        tile(10, 11, 5),                      # conforming
+        tile(12, 13, 1),                      # single feature
+        tile(14, 15, 4, props=False),         # no tags field -> fallback
+        tile(16, 17, 3, fid0=True),           # id absent -> non-uniform
+        tile(18, 19, 2) + tile(18, 19, 3),    # two layer frames -> fallback
+        b"\xff\x03garbage",                   # corrupt -> fallback
+    ]
+    ns, nvs, handled = bulk_point_tile_stats(bufs, "url")
+    # reference: the per-tile walk
+    for i, buf in enumerate(bufs):
+        if not handled[i]:
+            continue
+        n = nv = 0
+        vals = set()
+        for lf in parse_tile(buf):
+            for span in lf.feature_spans:
+                f = decode_feature(lf, span, mode="props")
+                if f is None:
+                    continue
+                n += 1
+                v = f.properties.get("url")
+                if v is not None:
+                    vals.add(str(v))
+        assert ns[i] == n and nvs[i] == len(vals), f"tile {i}"
+    assert handled[0] and ns[0] == 5 and nvs[0] == 3
+    assert handled[1] and ns[1] == 1 and nvs[1] == 1
+    # propless features omit the tags field (11 varints/feature, not 13):
+    # not the uniform layout — falls back like bulk_point_layer does
+    assert not handled[2]
+    assert not handled[4]  # multi-frame tile falls back
+    assert not handled[5]  # corrupt tile falls back

@@ -505,25 +505,40 @@ def decode_tile_stats(tiles: DataFrame, layers: list[str] | None = None,
         return n, len(vals)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codec.decode import bulk_point_tile_stats
         for pdf in batches:
+            # cross-tile fused fast path: one varint pass over the whole
+            # batch's conforming tiles (per-tile numpy setup amortized —
+            # the decode-side twin of the bulk encoder)
+            keep = [(int(z), int(x), int(y), bytes(buf))
+                    for z, x, y, buf in zip(pdf["z"], pdf["x"], pdf["y"],
+                                            pdf["tile_pbf"])
+                    if buf is not None]
+            if not keep:
+                continue
+            bufs = [r[3] for r in keep]
+            ns, nvs, handled = bulk_point_tile_stats(bufs, distinct_prop,
+                                                     layers)
             rows = []
-            for z, x, y, buf in zip(pdf["z"], pdf["x"], pdf["y"],
-                                    pdf["tile_pbf"]):
-                if buf is None:
+            for i, (z, x, y, buf) in enumerate(keep):
+                if handled[i]:
+                    if ns[i]:
+                        rows.append((z, x, y, int(ns[i]), int(nvs[i]), None)
+                                    if quarantine else
+                                    (z, x, y, int(ns[i]), int(nvs[i])))
                     continue
                 if quarantine:
                     try:
-                        n, nv = tile_counts(bytes(buf))
+                        n, nv = tile_counts(buf)
                     except Exception as e:  # noqa: BLE001 — isolate tile
-                        rows.append((int(z), int(x), int(y), 0, 0,
-                                     f"decode: {e!r}"[:200]))
+                        rows.append((z, x, y, 0, 0, f"decode: {e!r}"[:200]))
                         continue
                     if n:
-                        rows.append((int(z), int(x), int(y), n, nv, None))
+                        rows.append((z, x, y, n, nv, None))
                 else:
-                    n, nv = tile_counts(bytes(buf))
+                    n, nv = tile_counts(buf)
                     if n:
-                        rows.append((int(z), int(x), int(y), n, nv))
+                        rows.append((z, x, y, n, nv))
             if rows:
                 cols = ["z", "x", "y", "n_features", out_col]
                 if quarantine:
