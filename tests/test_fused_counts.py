@@ -127,3 +127,43 @@ def test_bulk_tile_stats_kernel_edges():
     assert not handled[2]
     assert not handled[4]  # multi-frame tile falls back
     assert not handled[5]  # corrupt tile falls back
+
+
+def test_bulk_tile_stats_duplicate_dictionary_falls_back():
+    """A foreign tile whose value dictionary contains DUPLICATE entries
+    must not be fast-pathed: distinct indices would overcount distinct
+    strings. Hand-assembled wire bytes (our encoder never emits dups)."""
+    from vector_tile_go_spark.codec.decode import bulk_point_tile_stats
+    from vector_tile_go_spark.codec.wire import encode_varint
+
+    def varstr(tag, s):
+        raw = s.encode()
+        return bytes([tag]) + encode_varint(len(raw)) + raw
+
+    def value(s):
+        inner = varstr(0x0A, s)
+        return b"\x22" + encode_varint(len(inner)) + inner
+
+    def feature(fid, vi):
+        parts = (b"\x08" + encode_varint(fid)
+                 + b"\x12" + encode_varint(2) + b"\x00" + encode_varint(vi)
+                 + b"\x18\x01\x22\x03\x09\x02\x02")
+        return b"\x12" + encode_varint(len(parts)) + parts
+
+    body = (varstr(0x0A, "geo") + feature(1, 0) + feature(2, 1)
+            + varstr(0x1A, "url")
+            + value("dup") + value("dup")          # duplicate dictionary!
+            + b"\x28" + encode_varint(4096) + b"\x78\x02")
+    tile = b"\x1a" + encode_varint(len(body)) + body
+
+    ns, nvs, handled = bulk_point_tile_stats([tile], "url")
+    # either fallback (preferred) or, if handled, the EXACT distinct count
+    assert (not handled[0]) or (ns[0] == 2 and nvs[0] == 1)
+
+    # same tile with distinct values IS fast-pathed and exact
+    body2 = (varstr(0x0A, "geo") + feature(1, 0) + feature(2, 1)
+             + varstr(0x1A, "url") + value("a") + value("b")
+             + b"\x28" + encode_varint(4096) + b"\x78\x02")
+    tile2 = b"\x1a" + encode_varint(len(body2)) + body2
+    ns, nvs, handled = bulk_point_tile_stats([tile2], "url")
+    assert handled[0] and ns[0] == 2 and nvs[0] == 2

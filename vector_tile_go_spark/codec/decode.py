@@ -667,64 +667,278 @@ def decode_tile(buf: bytes, z: int = 0, x: int = 0, y: int = 0,
     return out
 
 
+def _read_varints_at(buf: np.ndarray, pos: np.ndarray):
+    """Vectorized varint reads at ARBITRARY byte positions -> (values,
+    nbytes). One masked pass per continuation byte — the random-access
+    companion of wire.varint_decode_all's stream decoder."""
+    n = len(pos)
+    val = np.zeros(n, dtype=np.uint64)
+    nb = np.zeros(n, dtype=np.int64)
+    idx = np.arange(n)
+    p = np.asarray(pos, dtype=np.int64).copy()
+    shift = 0
+    while len(idx) and shift < 70:
+        b = buf[p[idx]].astype(np.uint64)
+        val[idx] |= (b & np.uint64(0x7F)) << np.uint64(shift)
+        nb[idx] += 1
+        p[idx] += 1
+        idx = idx[(b & np.uint64(0x80)) != 0]
+        shift += 7
+    return val, nb
+
+
+_SCAN_MAX_KEYS = 8
+
+
+def bulk_scan_point_tiles(bufs: list):
+    """SIMT-style layer-frame scan: walk the protobuf fields of EVERY
+    single-layer tile in lock-step numpy passes (one iteration per field
+    ordinal, masked to still-active tiles) instead of a per-tile Python
+    field loop (parse_tile/parse_layer, ~30 us/tile — the cost floor the
+    per-tile walk could not get under, see the r3 note in memory).
+
+    MVT layer field numbers are <= 15, so field keys are always ONE byte;
+    layers contain only wiretypes 0 and 2 — anything else marks the tile
+    non-conforming (fallback to the classic walk).
+
+    Returns a dict of per-tile arrays:
+      ok            conforms to the single-frame layout
+      feat_start/feat_end  contiguous feature-frames byte region
+      n_feat        number of feature fields
+      n_keys/n_vals dictionary sizes
+      key_spans     (m, MAXK, 2) start/len of key fields (-1 padded)
+      val_tile/val_start/val_len  flat value-field spans (for dedup checks)
+      name_span     (m, 2) layer-name span
+    plus the concatenated uint8 buffer and per-tile offsets."""
+    m = len(bufs)
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = offs[:-1]
+    end = offs[1:]
+    ok = lens > 2
+    safe = np.where(ok, starts, 0)
+    ok &= buf[safe] == 0x1A
+    blen, bnb = _read_varints_at(buf, np.where(ok, starts + 1, 0))
+    body_start = starts + 1 + bnb
+    ok &= (body_start + blen.astype(np.int64)) == end
+
+    pos = np.where(ok, body_start, end).astype(np.int64)
+    n_feat = np.zeros(m, dtype=np.int64)
+    feat_start = np.full(m, -1, dtype=np.int64)
+    feat_end = np.full(m, -1, dtype=np.int64)
+    feat_closed = np.zeros(m, dtype=bool)   # non-feature field after feats
+    n_keys = np.zeros(m, dtype=np.int64)
+    n_vals = np.zeros(m, dtype=np.int64)
+    key_spans = np.full((m, _SCAN_MAX_KEYS, 2), -1, dtype=np.int64)
+    name_span = np.full((m, 2), -1, dtype=np.int64)
+    vt_parts, vs_parts, vl_parts = [], [], []
+
+    while True:
+        act = np.flatnonzero((pos < end) & ok)
+        if not len(act):
+            break
+        k = buf[pos[act]]
+        bad = k >= 0x80
+        if bad.any():
+            ok[act[bad]] = False
+            act = act[~bad]
+            if not len(act):
+                break
+            k = k[~bad]
+        fieldno = (k >> 3).astype(np.int64)
+        wt = (k & 7).astype(np.int64)
+        is2 = wt == 2
+        is0 = wt == 0
+        bad = ~(is2 | is0)
+        if bad.any():
+            ok[act[bad]] = False
+            keep = ~bad
+            act, fieldno, wt, is2, is0 = (act[keep], fieldno[keep], wt[keep],
+                                          is2[keep], is0[keep])
+            if not len(act):
+                break
+        nxt = np.empty(len(act), dtype=np.int64)
+        # wt==2: length-delimited
+        a2 = np.flatnonzero(is2)
+        if len(a2):
+            ln, nb = _read_varints_at(buf, pos[act[a2]] + 1)
+            cstart = pos[act[a2]] + 1 + nb
+            nxt[a2] = cstart + ln.astype(np.int64)
+            f2 = fieldno[a2]
+            t2 = act[a2]
+            feats = f2 == 2
+            if feats.any():
+                tf = t2[feats]
+                # frame start includes the field tag byte
+                fs = pos[tf]
+                new = feat_start[tf] == -1
+                feat_start[tf] = np.where(new, fs, feat_start[tf])
+                feat_end[tf] = nxt[a2[feats]]
+                # a feature field after the run closed -> non-contiguous
+                ok[tf[feat_closed[tf]]] = False
+            nonfeat = ~feats
+            closed_now = t2[nonfeat & (n_feat[t2] > 0)]
+            feat_closed[closed_now] = True
+            n_feat[t2[feats]] += 1
+            keysf = f2 == 3
+            if keysf.any():
+                tk = t2[keysf]
+                slot = n_keys[tk]
+                over = slot >= _SCAN_MAX_KEYS
+                ok[tk[over]] = False
+                tk, slot = tk[~over], slot[~over]
+                sel = keysf.copy()
+                sel[keysf] = ~over
+                key_spans[tk, slot, 0] = cstart[sel]
+                key_spans[tk, slot, 1] = ln[sel].astype(np.int64)
+                n_keys[t2[keysf]] += 1
+            valsf = f2 == 4
+            if valsf.any():
+                vt_parts.append(t2[valsf])
+                vs_parts.append(cstart[valsf])
+                vl_parts.append(ln[valsf].astype(np.int64))
+                n_vals[t2[valsf]] += 1
+            namef = f2 == 1
+            if namef.any():
+                name_span[t2[namef], 0] = cstart[namef]
+                name_span[t2[namef], 1] = ln[namef].astype(np.int64)
+        a0 = np.flatnonzero(is0)
+        if len(a0):
+            _, nb0 = _read_varints_at(buf, pos[act[a0]] + 1)
+            nxt[a0] = pos[act[a0]] + 1 + nb0
+            closed_now = act[a0][n_feat[act[a0]] > 0]
+            feat_closed[closed_now] = True
+        over = nxt > end[act]
+        if over.any():
+            ok[act[over]] = False
+        pos[act] = np.where(ok[act], nxt, end[act])
+
+    ok &= n_feat > 0
+    return {
+        "buf": buf, "offs": offs, "ok": ok,
+        "feat_start": feat_start, "feat_end": feat_end, "n_feat": n_feat,
+        "n_keys": n_keys, "n_vals": n_vals, "key_spans": key_spans,
+        "val_tile": (np.concatenate(vt_parts) if vt_parts
+                     else np.zeros(0, np.int64)),
+        "val_start": (np.concatenate(vs_parts) if vs_parts
+                      else np.zeros(0, np.int64)),
+        "val_len": (np.concatenate(vl_parts) if vl_parts
+                    else np.zeros(0, np.int64)),
+        "name_span": name_span,
+    }
+
+
 def bulk_point_tile_stats(bufs: list, distinct_prop: str,
                           layers: list | None = None):
     """Cross-TILE fused stats kernel: per-tile (n_features, n_distinct
-    values of ``distinct_prop``) for every tile whose single layer
-    conforms to the uniform point layout bulk_point_layer handles — with
-    ONE varint boundary scan + ONE add.reduceat over the CONCATENATION of
-    all conforming tiles' feature regions. bulk_point_layer removed the
-    per-FEATURE Python walk; at web-scale tile grids the features-per-tile
-    ratio is small (~4 at the bench shape), so its per-tile numpy setup
-    (~85 us/tile) dominated decode_tile_stats — this kernel amortizes it
-    across the whole Arrow batch.
+    values of ``distinct_prop``) with NO per-tile Python walk — framing
+    comes from bulk_scan_point_tiles' lock-step field scan, feature
+    payloads from ONE varint boundary pass over the concatenation of all
+    conforming tiles' feature regions (the decode twin of the vectorized
+    bulk encoder). Per-tile Python is only memoized key-name lookups and
+    the value-dictionary distinctness check (O(distinct values)).
 
-    Returns (n_arr, nv_arr, handled): int64/int64/bool arrays over the
-    input index. handled[i] False -> caller runs the per-tile fallback
-    (multi-layer/composited tiles, non-uniform features, oversized ids,
-    duplicate or None dictionary entries). Counting distinct dictionary
-    INDICES equals counting distinct strings only because conforming
-    tiles passed the duplicate-free dictionary check."""
+    Returns (n_arr, nv_arr, handled); handled[i] False -> caller runs the
+    per-tile fallback. Exactness guards: distinct dictionary INDICES
+    stand in for distinct strings only when every value field is a
+    single-string Value message with pure-ASCII payload (byte-distinct
+    <=> string-distinct) and the tile's dictionary is duplicate-free;
+    anything else — multi-frame tiles, non-uniform features, uint64 ids,
+    non-string/non-ASCII values, dup dictionaries — falls back."""
     m = len(bufs)
     n_arr = np.zeros(m, dtype=np.int64)
     nv_arr = np.zeros(m, dtype=np.int64)
     handled = np.zeros(m, dtype=bool)
-    metas = []  # (tile_idx, lf, first, last, n_feats)
-    for ti, buf in enumerate(bufs):
-        try:
-            lfs = parse_tile(buf)
-        except Exception:  # noqa: BLE001 — corrupt tile -> fallback path
-            continue
-        if layers is not None:
-            lfs = [lf for lf in lfs if lf.name in layers]
-        if len(lfs) != 1:
-            continue
-        lf = lfs[0]
-        spans = lf.feature_frame_spans
-        k = len(spans)
-        if k == 0 or len(lf.feature_spans) != k:
-            continue
-        if any(spans[i][1] != spans[i + 1][0] for i in range(k - 1)):
-            continue
-        vals_list = lf.values
-        if (len(set(vals_list)) != len(vals_list)
-                or any(v is None for v in vals_list)):
-            continue
-        metas.append((ti, lf, spans[0][0], spans[-1][1], k))
-    if not metas:
+    if not m:
+        return n_arr, nv_arr, handled
+    scan = bulk_scan_point_tiles(bufs)
+    buf = scan["buf"]
+    ok = scan["ok"].copy()
+    if not ok.any():
         return n_arr, nv_arr, handled
 
-    big = b"".join(meta[1].buf[meta[2]:meta[3]] for meta in metas)
-    raw = np.frombuffer(big, dtype=np.uint8)
+    # --- layer-name filter (memoized byte-sig -> str)
+    if layers is not None:
+        name_cache: dict = {}
+        ns_, nl_ = scan["name_span"][:, 0], scan["name_span"][:, 1]
+        for ti in np.flatnonzero(ok).tolist():
+            sig = bytes(buf[ns_[ti]:ns_[ti] + nl_[ti]]) if ns_[ti] >= 0 \
+                else b""
+            nm = name_cache.get(sig)
+            if nm is None:
+                nm = sig.decode("utf-8", "replace")
+                name_cache[sig] = nm
+            if nm not in layers:
+                handled[ti] = True   # zero-count tile, same as the walk
+                ok[ti] = False
+
+    # --- value dictionary checks: every value a single-string ASCII
+    # message, byte-distinct within its tile
+    vt, vs, vl = scan["val_tile"], scan["val_start"], scan["val_len"]
+    keep = ok[vt]
+    vt, vs, vl = vt[keep], vs[keep], vl[keep]
+    if len(vt):
+        good = (vl >= 2) & (buf[np.where(vl >= 2, vs, 0)] == 0x0A)
+        slen, snb = _read_varints_at(buf, np.where(good, vs + 1, 0))
+        plen = slen.astype(np.int64)
+        good &= (1 + snb + plen) == vl
+        pstart = vs + 1 + snb
+        plen_m = np.where(good, plen, 0)
+        total = int(plen_m.sum())
+        if total:
+            gather = (np.repeat(pstart - np.concatenate(
+                [[0], np.cumsum(plen_m)[:-1]]), plen_m)
+                + np.arange(total))
+            pay = buf[gather]
+            poff = np.concatenate([[0], np.cumsum(plen_m)])
+            na_cum = np.concatenate(
+                [[0], np.cumsum(pay >= 0x80, dtype=np.int64)])
+            good &= (na_cum[poff[1:]] - na_cum[poff[:-1]]) == 0
+        ok[np.unique(vt[~good])] = False
+        # per-tile byte-distinctness, vectorized: within each payload
+        # length, lexsort (tile, payload bytes) and flag tiles with equal
+        # adjacent rows — no per-value Python
+        live = good & ok[vt]
+        if live.any():
+            t_live = vt[live]
+            ps_l, pl_l = pstart[live], plen[live]
+            for L in np.unique(pl_l).tolist():
+                s = np.flatnonzero(pl_l == L)
+                if L == 0:
+                    cnt = np.bincount(t_live[s], minlength=m)
+                    ok[np.flatnonzero(cnt > 1)] = False
+                    continue
+                mat = buf[(ps_l[s][:, None]
+                           + np.arange(L)).ravel()].reshape(len(s), L)
+                order = np.lexsort((*mat.T[::-1], t_live[s]))
+                tt = t_live[s][order]
+                mo = mat[order]
+                if len(tt) > 1:
+                    same = ((tt[1:] == tt[:-1])
+                            & (mo[1:] == mo[:-1]).all(axis=1))
+                    ok[tt[1:][same]] = False
+
+    if not ok.any():
+        return n_arr, nv_arr, handled
+
+    # --- pack every conforming tile's feature region into one buffer,
+    # one varint boundary pass for all of them
+    tiles_sel = np.flatnonzero(ok)
+    fs = scan["feat_start"][tiles_sel]
+    fe = scan["feat_end"][tiles_sel]
+    region_lens = fe - fs
+    rtotal = int(region_lens.sum())
+    gather = (np.repeat(fs - np.concatenate(
+        [[0], np.cumsum(region_lens)[:-1]]), region_lens)
+        + np.arange(rtotal))
+    raw = buf[gather]
     ends = (raw & 0x80) == 0
-    region_lens = np.array([meta[3] - meta[2] for meta in metas],
-                           dtype=np.int64)
     offs = np.concatenate([[0], np.cumsum(region_lens)])
-    # explicit dtype: numpy's default bool accumulator path is ~40x slower
     ends_cum = np.concatenate([[0], np.cumsum(ends, dtype=np.int64)])
     n_varints = ends_cum[offs[1:]] - ends_cum[offs[:-1]]
-    feats = np.array([meta[4] for meta in metas], dtype=np.int64)
-    per = n_varints // feats
+    feats = scan["n_feat"][tiles_sel]
+    per = n_varints // np.maximum(feats, 1)
     conform = ((n_varints == per * feats) & (per >= 13)
                & ((per - 13) % 2 == 0))
     if not conform.any():
@@ -732,9 +946,10 @@ def bulk_point_tile_stats(bufs: list, distinct_prop: str,
     all_vals = varint_decode_all(raw)
     voffs = np.concatenate([[0], np.cumsum(n_varints)])
 
-    # group conforming regions by row width so each group reshapes to one
-    # (sum_feats, per) matrix; our encoder emits one width per prop set,
-    # so this loop virtually always runs once
+    key_spans = scan["key_spans"]
+    n_keys_all = scan["n_keys"]
+    n_vals_all = scan["n_vals"]
+
     for width in np.unique(per[conform]).tolist():
         gsel = np.flatnonzero(conform & (per == width))
         gfeats = feats[gsel]
@@ -749,45 +964,54 @@ def bulk_point_tile_stats(bufs: list, distinct_prop: str,
         ok_rows = ((V[:, 0] == 0x12) & (V[:, 2] == 0x08) & (V[:, 4] == 0x12)
                    & (V[:, t] == 0x18) & (V[:, t + 1] == 1)
                    & (V[:, t + 2] == 0x22) & (V[:, t + 4] == 9))
-        row_tile = np.repeat(np.arange(len(gsel)), gfeats)  # group-local
+        row_tile = np.repeat(np.arange(len(gsel)), gfeats)
         row_offs = np.concatenate([[0], np.cumsum(gfeats)])
         grp_ok = np.logical_and.reduceat(ok_rows, row_offs[:-1]) \
             if len(ok_rows) else np.zeros(0, bool)
         key_idx = V[:, 6:6 + p2:2]
         val_idx = V[:, 7:7 + p2:2] if p2 else np.zeros((len(V), 1), np.int64)
-        # per-tile key uniformity: every row's key columns equal the first
-        # row of its tile
         first_rows = key_idx[row_offs[:-1]] if p2 else key_idx
+        tsel = tiles_sel[gsel]
         if p2:
             key_uniform = np.logical_and.reduceat(
                 (key_idx == first_rows[row_tile]).all(axis=1), row_offs[:-1])
             grp_ok &= key_uniform
-            # dictionary bounds, per tile (vectorized reduceat max)
-            nkeys_t = np.array([len(metas[g][1].keys) for g in gsel])
-            nvals_t = np.array([len(metas[g][1].values) for g in gsel])
             max_val_t = np.maximum.reduceat(val_idx.max(axis=1),
                                             row_offs[:-1])
-            grp_ok &= ((first_rows.max(axis=1) < nkeys_t)
-                       & (max_val_t < nvals_t))
-        # map the distinct_prop to its tag column per tile (memoized on the
-        # (keys, first-row) signature — one dict hit per tile, no per-tile
-        # numpy)
+            grp_ok &= ((first_rows.max(axis=1) < n_keys_all[tsel])
+                       & (max_val_t < n_vals_all[tsel]))
+        # distinct_prop -> tag column per tile, computed once per UNIQUE
+        # (key-region bytes, first-row) group: identical key-region bytes
+        # imply identical key dictionaries, so tiles group by content and
+        # only one representative per group decodes its key strings
         j_arr = np.full(len(gsel), -1, dtype=np.int64)
-        memo: dict = {}
-        for gi in np.flatnonzero(grp_ok).tolist():
-            lf = metas[gsel[gi]][1]
-            sig = (tuple(lf.keys), tuple(first_rows[gi].tolist())) if p2 \
-                else (tuple(lf.keys),)
-            j = memo.get(sig)
-            if j is None:
-                names0 = ([lf.keys[int(kk)] for kk in first_rows[gi]]
-                          if p2 else [])
-                j = names0.index(distinct_prop) \
-                    if distinct_prop in names0 else -1
-                memo[sig] = j
-            j_arr[gi] = j
-        # distinct-value counts for all tiles at once: unique (tile, val)
-        # pairs -> bincount per tile
+        gi_ok = np.flatnonzero(grp_ok)
+        if len(gi_ok) and p2:
+            tisel = tsel[gi_ok]
+            nk = n_keys_all[tisel]
+            k_lo = key_spans[tisel, 0, 0]
+            k_hi = (key_spans[tisel, nk - 1, 0]
+                    + key_spans[tisel, nk - 1, 1])
+            reg_len = k_hi - k_lo
+            for L in np.unique(reg_len).tolist():
+                s = np.flatnonzero(reg_len == L)
+                mat = buf[(k_lo[s][:, None]
+                           + np.arange(L)).ravel()].reshape(len(s), L)
+                combo = np.concatenate(
+                    [mat.astype(np.int64), first_rows[gi_ok[s]]], axis=1)
+                _, first_of, inv = np.unique(combo, axis=0,
+                                             return_index=True,
+                                             return_inverse=True)
+                jg = np.empty(len(first_of), dtype=np.int64)
+                for u, rep in enumerate(first_of.tolist()):
+                    ti = tisel[s[rep]]
+                    names0 = [
+                        bytes(buf[ks:ks + kl]).decode("utf-8", "replace")
+                        for kk in first_rows[gi_ok[s[rep]]].tolist()
+                        for ks, kl in [key_spans[ti][int(kk)]]]
+                    jg[u] = (names0.index(distinct_prop)
+                             if distinct_prop in names0 else -1)
+                j_arr[gi_ok[s]] = jg[inv]
         has_j = grp_ok & (j_arr >= 0)
         if has_j.any():
             K = int(val_idx.max()) + 1
@@ -798,8 +1022,7 @@ def bulk_point_tile_stats(bufs: list, distinct_prop: str,
             nv_per = np.bincount(uniq // K, minlength=len(gsel))
         else:
             nv_per = np.zeros(len(gsel), dtype=np.int64)
-        ti_arr = np.array([metas[g][0] for g in gsel], dtype=np.int64)
-        n_arr[ti_arr[grp_ok]] = gfeats[grp_ok]
-        nv_arr[ti_arr[has_j]] = nv_per[has_j]
-        handled[ti_arr[grp_ok]] = True
+        n_arr[tsel[grp_ok]] = gfeats[grp_ok]
+        nv_arr[tsel[has_j]] = nv_per[has_j]
+        handled[tsel[grp_ok]] = True
     return n_arr, nv_arr, handled
