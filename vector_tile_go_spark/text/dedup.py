@@ -74,14 +74,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
                   key_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-grams per doc: (doc_id, shingle)."""
+    """Distinct word n-grams per doc: (doc_id, shingle).
+
+    Dedup is doc-LOCAL (array_distinct before the explode), so the whole
+    shingle table is produced map-side with ZERO shuffle — the former
+    global DISTINCT exchanged one row per (doc, shingle), which at corpus
+    scale is the largest relation in the dedup pipeline."""
     toks = docs.select(key_col, F.split(F.col(text_col), " ").alias("toks"))
-    sh = toks.select(
+    return toks.select(
         key_col,
-        F.explode(F.transform(
+        F.explode(F.array_distinct(F.transform(
             F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.array_join(F.slice("toks", i + 1, n), " "))).alias("shingle"))
-    return sh.distinct()
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " ")))).alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
