@@ -505,7 +505,10 @@ def decode_tile_stats(tiles: DataFrame, layers: list[str] | None = None,
         return n, len(vals)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
         from ..codec.decode import bulk_point_tile_stats
+        use_bulk = os.environ.get("SPARK_GRAFT_BULK_DECODE", "1") != "0"
         for pdf in batches:
             # cross-tile fused fast path: one varint pass over the whole
             # batch's conforming tiles (per-tile numpy setup amortized —
@@ -517,8 +520,24 @@ def decode_tile_stats(tiles: DataFrame, layers: list[str] | None = None,
             if not keep:
                 continue
             bufs = [r[3] for r in keep]
-            ns, nvs, handled = bulk_point_tile_stats(bufs, distinct_prop,
-                                                     layers)
+            if use_bulk:
+                # chunked: bounds the kernel's temporaries to a
+                # cache-resident working set (this sandbox's guest kernel
+                # inflates big streaming passes ~10x, BASELINE.md r3/r4;
+                # amortization at 1-2k tiles/chunk keeps ~95% of the win)
+                chunk = int(os.environ.get("SPARK_GRAFT_BULK_DECODE_CHUNK",
+                                           "1024"))
+                ns = np.zeros(len(bufs), dtype=np.int64)
+                nvs = np.zeros(len(bufs), dtype=np.int64)
+                handled = np.zeros(len(bufs), dtype=bool)
+                for lo in range(0, len(bufs), chunk):
+                    hi = min(lo + chunk, len(bufs))
+                    cns, cnvs, ch = bulk_point_tile_stats(
+                        bufs[lo:hi], distinct_prop, layers)
+                    ns[lo:hi], nvs[lo:hi], handled[lo:hi] = cns, cnvs, ch
+            else:
+                ns = nvs = None
+                handled = np.zeros(len(keep), dtype=bool)
             rows = []
             for i, (z, x, y, buf) in enumerate(keep):
                 if handled[i]:
