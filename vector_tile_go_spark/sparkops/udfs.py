@@ -521,20 +521,41 @@ def decode_tile_stats(tiles: DataFrame, layers: list[str] | None = None,
                 continue
             bufs = [r[3] for r in keep]
             if use_bulk:
-                # chunked: bounds the kernel's temporaries to a
-                # cache-resident working set (this sandbox's guest kernel
-                # inflates big streaming passes ~10x, BASELINE.md r3/r4;
-                # amortization at 1-2k tiles/chunk keeps ~95% of the win)
+                # The batch kernel wins where the per-tile walk's fixed
+                # numpy setup dominates — SPARSE tiles (few features). On
+                # dense tiles (KBs of features each) the walk is already
+                # amortized and the kernel's big streaming temporaries
+                # lose (this sandbox's guest kernel inflates sustained
+                # streaming passes ~10x, BASELINE.md r3/r4). Route by
+                # tile size; chunk the sparse set by tiles AND bytes so
+                # the working set stays cache-resident.
+                max_tile = int(os.environ.get(
+                    "SPARK_GRAFT_BULK_DECODE_MAX_TILE", "4096"))
                 chunk = int(os.environ.get("SPARK_GRAFT_BULK_DECODE_CHUNK",
                                            "1024"))
+                # 256 KB of wire bytes per chunk: the kernel's int64
+                # matrices expand ~30x, so this keeps each chunk's
+                # temporaries ~8 MB (cache-adjacent, under the host's
+                # streaming-pass inflation threshold)
+                byte_budget = int(os.environ.get(
+                    "SPARK_GRAFT_BULK_DECODE_BYTES", str(1 << 18)))
                 ns = np.zeros(len(bufs), dtype=np.int64)
                 nvs = np.zeros(len(bufs), dtype=np.int64)
                 handled = np.zeros(len(bufs), dtype=bool)
-                for lo in range(0, len(bufs), chunk):
-                    hi = min(lo + chunk, len(bufs))
+                small = [i for i, b in enumerate(bufs) if len(b) <= max_tile]
+                lo = 0
+                while lo < len(small):
+                    hi, acc = lo, 0
+                    while hi < len(small) and hi - lo < chunk and \
+                            acc < byte_budget:
+                        acc += len(bufs[small[hi]])
+                        hi += 1
+                    sel = small[lo:hi]
                     cns, cnvs, ch = bulk_point_tile_stats(
-                        bufs[lo:hi], distinct_prop, layers)
-                    ns[lo:hi], nvs[lo:hi], handled[lo:hi] = cns, cnvs, ch
+                        [bufs[i] for i in sel], distinct_prop, layers)
+                    for k, i in enumerate(sel):
+                        ns[i], nvs[i], handled[i] = cns[k], cnvs[k], ch[k]
+                    lo = hi
             else:
                 ns = nvs = None
                 handled = np.zeros(len(keep), dtype=bool)
