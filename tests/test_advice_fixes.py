@@ -192,3 +192,79 @@ def test_knn_boundary_tie_escalates(spark):
     assert len(out) == 1
     # lax (<=) would settle on doc_id 2 in round 1; strict finds doc_id 1
     assert out[0]["doc_id"] == 1
+
+
+# ---- round-5 fixes: bulk decode kernel safety (ADVICE r4) ----------------
+
+def _walk_counts(buf, prop="url"):
+    """Length-driven per-tile reference walk for the kernel exactness
+    invariant: (n_features, n_distinct str values of ``prop``)."""
+    feats = decode_tile(buf, mode="props")
+    vals = {str(f.properties[prop]) for _, f in feats
+            if f.properties.get(prop) is not None}
+    return len(feats), len(vals)
+
+
+def test_bulk_stats_truncated_varint_no_crash():
+    from vector_tile_go_spark.codec.decode import bulk_point_tile_stats
+    # trailing truncated varint (continuation bits run off the buffer)
+    for bad in ([b"\x1a\xff\xff"], [b"", b""], [b"\x1a\x01\x08"],
+                [b"\x1a\xff\xff", b"", b"\x1a\x01\x08"]):
+        n, nv, handled = bulk_point_tile_stats(bad, "url")
+        assert not handled.any()
+
+
+def test_bulk_stats_corrupt_mixed_with_good():
+    from vector_tile_go_spark.codec.decode import bulk_point_tile_stats
+    z, x, y = TILE
+    feats = [{"id": i + 1, "type": "Point", "coordinates": _mid(z, x, y),
+              "properties": {"url": f"u{i % 3}", "mention_idx": str(i)}}
+             for i in range(5)]
+    good = encode_layer(feats, z, x, y, "geo", extent_clamp=True)
+    n, nv, handled = bulk_point_tile_stats(
+        [b"\x1a\xff\xff", good, b"\x1a\x01\x08"], "url")
+    assert list(handled) == [False, True, False]
+    assert (n[1], nv[1]) == _walk_counts(good)
+
+
+def test_bulk_stats_length_field_fuzz():
+    """Single-byte increment fuzz: whenever the kernel claims handled=True
+    the counts must equal the length-driven walk (exactness contract —
+    crafted length-field disagreements must fall back, ADVICE r4)."""
+    from vector_tile_go_spark.codec.decode import bulk_point_tile_stats
+    z, x, y = TILE
+    feats = [{"id": i + 1, "type": "Point", "coordinates": _mid(z, x, y),
+              "properties": {"url": f"u{i}", "mention_idx": "0"}}
+             for i in range(3)]
+    good = bytes(encode_layer(feats, z, x, y, "geo", extent_clamp=True))
+    for pos in range(len(good)):
+        mut = good[:pos] + bytes([(good[pos] + 1) & 0xFF]) + good[pos + 1:]
+        n, nv, handled = bulk_point_tile_stats([mut], "url")
+        if not handled[0]:
+            continue
+        try:
+            expect = _walk_counts(mut)
+        except Exception:
+            raise AssertionError(
+                f"kernel handled byte-{pos} mutant the walk rejects")
+        assert (n[0], nv[0]) == expect, f"mutant at byte {pos} diverges"
+
+
+def test_decode_tile_stats_quarantines_corrupt_bulk_tile(spark):
+    """One corrupt <=4KB tile in a batch must not fail the Spark task on
+    the default bulk path (ADVICE r4 high)."""
+    import pandas as pd
+
+    from vector_tile_go_spark.sparkops.udfs import decode_tile_stats
+    z, x, y = TILE
+    feats = [{"id": 1, "type": "Point", "coordinates": _mid(z, x, y),
+              "properties": {"url": "a", "mention_idx": "0"}}]
+    good = bytes(encode_layer(feats, z, x, y, "geo", extent_clamp=True))
+    df = spark.createDataFrame(pd.DataFrame(
+        {"z": [z, z], "x": [x, x + 1], "y": [y, y],
+         "tile_pbf": [good, b"\x1a\xff\xff"]}))
+    rows = {(r["x"]): r for r in
+            decode_tile_stats(df, distinct_prop="url",
+                              quarantine=True).collect()}
+    assert rows[x]["n_features"] == 1 and rows[x]["error"] is None
+    assert rows[x + 1]["n_features"] == 0 and rows[x + 1]["error"]

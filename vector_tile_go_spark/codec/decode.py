@@ -713,7 +713,12 @@ def bulk_scan_point_tiles(bufs: list):
     m = len(bufs)
     lens = np.array([len(b) for b in bufs], dtype=np.int64)
     offs = np.concatenate([[0], np.cumsum(lens)])
-    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    # 10 zero sentinel bytes (max varint width) so _read_varints_at can
+    # never index past the buffer on a truncated trailing varint — the
+    # over-run checks below then mark the tile ok=False instead of the
+    # kernel raising IndexError (ADVICE r4 high). Also makes the
+    # all-empty-batch safe-index at [0] valid.
+    buf = np.frombuffer(b"".join(bufs) + b"\x00" * 10, dtype=np.uint8)
     starts = offs[:-1]
     end = offs[1:]
     ok = lens > 2
@@ -846,6 +851,7 @@ def bulk_point_tile_stats(bufs: list, distinct_prop: str,
     <=> string-distinct) and the tile's dictionary is duplicate-free;
     anything else — multi-frame tiles, non-uniform features, uint64 ids,
     non-string/non-ASCII values, dup dictionaries — falls back."""
+    from .encode_fast import _varlen_u64
     m = len(bufs)
     n_arr = np.zeros(m, dtype=np.int64)
     nv_arr = np.zeros(m, dtype=np.int64)
@@ -964,6 +970,17 @@ def bulk_point_tile_stats(bufs: list, distinct_prop: str,
         ok_rows = ((V[:, 0] == 0x12) & (V[:, 2] == 0x08) & (V[:, 4] == 0x12)
                    & (V[:, t] == 0x18) & (V[:, t + 1] == 1)
                    & (V[:, t + 2] == 0x22) & (V[:, t + 4] == 9))
+        # Length-field validation (ADVICE r4): the framing above is purely
+        # positional, so confirm the wire LENGTH fields agree with the
+        # minimal-varint byte widths of the values actually in each slot —
+        # payload_len == bytes of the packed tag varints, geom_len ==
+        # bytes of (MoveTo cmd + 2 zigzags), parts_len == bytes of the
+        # whole feature body after it. Any disagreement (crafted tiles,
+        # non-minimal varints) falls back to the length-driven walk.
+        VL = _varlen_u64(Vu.ravel()).reshape(Vu.shape)
+        ok_rows &= ((V[:, 1] == VL[:, 2:].sum(axis=1))
+                    & (V[:, 5] == (VL[:, 6:6 + p2].sum(axis=1) if p2 else 0))
+                    & (V[:, t + 3] == VL[:, t + 4:].sum(axis=1)))
         row_tile = np.repeat(np.arange(len(gsel)), gfeats)
         row_offs = np.concatenate([[0], np.cumsum(gfeats)])
         grp_ok = np.logical_and.reduceat(ok_rows, row_offs[:-1]) \

@@ -812,6 +812,36 @@ def q_polygon_holes_roundtrip(spark, sf_dir):
     return _geom_vertices(df, "Polygon", "nations_h")
 
 
+def q_multipolygon_holes_roundtrip(spark, sf_dir):
+    """MultiPolygon WITH interior rings through the distributed encoder
+    (VERDICT r4 missing #2): two polygons per nation — the base triangle
+    and a 20-degree-east copy — each carrying a 0.25x hole toward its
+    centroid, shipped as 4-level coords ([polygon][ring][pt][xy]) straight
+    to make_multipolygon (encode.py:190). Decode must re-assemble
+    (exterior, hole) pairs per polygon in order, with hole winding
+    reversed (write_geometry.go:277-289)."""
+    t = _tri_with_tile(spark, sf_dir)
+    cx = (F.col("xs")[0] + F.col("xs")[1] + F.col("xs")[2]) / 3.0
+    cy = (F.col("ys")[0] + F.col("ys")[1] + F.col("ys")[2]) / 3.0
+    ext0 = F.array(*[F.array(F.col("xs")[i], F.col("ys")[i])
+                     for i in range(3)])
+    hole0 = F.array(*[F.array(cx + 0.25 * (F.col("xs")[i] - cx),
+                              cy + 0.25 * (F.col("ys")[i] - cy))
+                      for i in range(3)])
+    ext1 = F.array(*[F.array(F.col("xs")[i] + 20.0, F.col("ys")[i])
+                     for i in range(3)])
+    hole1 = F.array(*[F.array((cx + 0.25 * (F.col("xs")[i] - cx)) + 20.0,
+                              cy + 0.25 * (F.col("ys")[i] - cy))
+                      for i in range(3)])
+    df = t.select("z", "x", "y",
+                  (F.col("n_nationkey") + 1).cast("long").alias("feature_id"),
+                  F.array(F.array(ext0, hole0),
+                          F.array(ext1, hole1)).alias("coords"),
+                  F.create_map(F.lit("nk"), F.col("n_nationkey")
+                               .cast("string")).alias("props"))
+    return _geom_vertices(df, "MultiPolygon", "nations_mh")
+
+
 def q_typed_values(spark, sf_dir):
     """The 7-type MVT Value variant through the distributed path
     (write_primitives.go:202-243): string/int64/double/bool properties per
@@ -1075,58 +1105,12 @@ def q_frame_sample(spark, sf_dir):
 # 10 already-driver-verified near-twins (salted/streaming/cube/raster/
 # quality/multitable/hex-knn/multimodal variants of verified paths) sit
 # past position 50 and stay in the local tools/check_oracle.py gate.
+# Registry ORDER matters: the driver's correctness snapshot caps at the
+# first 50 entries. Round-5 rotation (VERDICT r4 task #2): the 10 queries
+# that sat past the cap since r3 (roundtrip_salted .. frame_sample) move
+# into the head; 10 r4-driver-green near-twins rotate to the tail, where
+# the local gate (tools/check_oracle.py) keeps them green.
 QUERIES = {
-    "scaled_geometry": q_scaled_geometry,
-    "multipolygon_roundtrip": q_multipolygon_roundtrip,
-    "polygon_holes_roundtrip": q_polygon_holes_roundtrip,
-    "multipoint_roundtrip": q_multipoint_roundtrip,
-    "typed_values": q_typed_values,
-    "reduce_bbox_cull": q_reduce_bbox_cull,
-    "reduce_multipoint": q_reduce_multipoint,
-    "pyramid_cascade": q_pyramid_cascade,
-    "pip_holes": q_pip_holes,
-    "fingerprint_winnow": q_fingerprint_winnow,
-    "geo_extract": q_geo_extract,
-    "tile_assign": q_tile_assign,
-    "tile_rollup": q_tile_rollup,
-    "bbox_by_lang": q_bbox_by_lang,
-    "reduce_points": q_reduce_points,
-    "tile_dict_stats": q_tile_dict_stats,
-    "overzoom_pyramid": q_overzoom_pyramid,
-    "roundtrip_counts": q_roundtrip_counts,
-    "roundtrip_geometry": q_roundtrip_geometry,
-    "geobuf_roundtrip": q_geobuf_roundtrip,
-    "lineitem_pricing": q_lineitem_pricing,
-    "shipping_priority": q_shipping_priority,
-    "events_windows": q_events_windows,
-    "events_stateful_totals": q_events_stateful_totals,
-    "events_sessions": q_events_sessions,
-    "hot_domains": q_hot_domains,
-    "pip_join": q_pip_join,
-    "knn": q_knn,
-    "hex_rollup": q_hex_rollup,
-    "hex_pip": q_hex_pip,
-    "raster_occupancy": q_raster_occupancy,
-    "compositing": q_compositing,
-    "remove_layer": q_remove_layer,
-    "filter_layer": q_filter_layer,
-    "upsert_features": q_upsert_features,
-    "upsert_splice": q_upsert_splice,
-    "exact_dedup": q_exact_dedup,
-    "ngram_jaccard": q_ngram_jaccard,
-    "minhash_lsh": q_minhash_lsh,
-    "simhash_pairs": q_simhash_pairs,
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
-    "ann_topk": q_ann_topk,
-    "ann_ivf": q_ann_ivf,
-    "ann_lsh": q_ann_lsh,
-    "cosine_pairs": q_cosine_pairs,
-    "multimodal_decode": q_multimodal_decode,
-    "polygon_roundtrip": q_polygon_roundtrip,
-    "linestring_roundtrip": q_linestring_roundtrip,
-    # --- position 51+: driver-verified in r3; local gate keeps them green
     "roundtrip_salted": q_roundtrip_salted,
     "events_sliding": q_events_sliding,
     "events_stream_windows": q_events_stream_windows,
@@ -1137,6 +1121,59 @@ QUERIES = {
     "hex_knn": q_hex_knn,
     "multimodal_resize": q_multimodal_resize,
     "frame_sample": q_frame_sample,
+    "scaled_geometry": q_scaled_geometry,
+    "multipolygon_roundtrip": q_multipolygon_roundtrip,
+    "polygon_holes_roundtrip": q_polygon_holes_roundtrip,
+    "multipolygon_holes_roundtrip": q_multipolygon_holes_roundtrip,
+    "typed_values": q_typed_values,
+    "reduce_bbox_cull": q_reduce_bbox_cull,
+    "reduce_multipoint": q_reduce_multipoint,
+    "pyramid_cascade": q_pyramid_cascade,
+    "pip_holes": q_pip_holes,
+    "fingerprint_winnow": q_fingerprint_winnow,
+    "tile_assign": q_tile_assign,
+    "bbox_by_lang": q_bbox_by_lang,
+    "reduce_points": q_reduce_points,
+    "tile_dict_stats": q_tile_dict_stats,
+    "roundtrip_counts": q_roundtrip_counts,
+    "roundtrip_geometry": q_roundtrip_geometry,
+    "geobuf_roundtrip": q_geobuf_roundtrip,
+    "lineitem_pricing": q_lineitem_pricing,
+    "events_stateful_totals": q_events_stateful_totals,
+    "events_sessions": q_events_sessions,
+    "hot_domains": q_hot_domains,
+    "pip_join": q_pip_join,
+    "knn": q_knn,
+    "hex_rollup": q_hex_rollup,
+    "hex_pip": q_hex_pip,
+    "raster_occupancy": q_raster_occupancy,
+    "compositing": q_compositing,
+    "filter_layer": q_filter_layer,
+    "upsert_splice": q_upsert_splice,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "lang_id": q_lang_id,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
+    "cosine_pairs": q_cosine_pairs,
+    "multimodal_decode": q_multimodal_decode,
+    "events_windows": q_events_windows,
+    # --- position 51+: driver-verified in r4 (CORRECTNESS_r04.json);
+    # near-twins of retained head queries; local gate keeps them green
+    "shipping_priority": q_shipping_priority,
+    "geo_extract": q_geo_extract,
+    "tile_rollup": q_tile_rollup,
+    "overzoom_pyramid": q_overzoom_pyramid,
+    "multipoint_roundtrip": q_multipoint_roundtrip,
+    "polygon_roundtrip": q_polygon_roundtrip,
+    "linestring_roundtrip": q_linestring_roundtrip,
+    "remove_layer": q_remove_layer,
+    "upsert_features": q_upsert_features,
+    "text_stats": q_text_stats,
+    "fingerprint": q_fingerprint,
 }
 
 _SHINGLES_CTE = """
@@ -1478,6 +1515,15 @@ FROM documents WHERE doc_id % 4 > 0 GROUP BY 1""",
             lambda i: (f"(((x0 + x1 + x2) / 3.0) + 0.25 * (x{i} - ((x0 + x1 + x2) / 3.0)))",
                        f"(((y0 + y1 + y2) / 3.0) + 0.25 * (y{i} - ((y0 + y1 + y2) / 3.0)))"),
             "w > 0", "w <= 0", "Polygon"),
+        "multipolygon_holes_roundtrip": _multi_ring_vertices_sql([
+            (lambda i: (f"x{i}", f"y{i}"), "w > 0"),
+            (lambda i: (f"(((x0 + x1 + x2) / 3.0) + 0.25 * (x{i} - ((x0 + x1 + x2) / 3.0)))",
+                        f"(((y0 + y1 + y2) / 3.0) + 0.25 * (y{i} - ((y0 + y1 + y2) / 3.0)))"),
+             "w <= 0"),
+            (lambda i: (f"(x{i} + 20.0)", f"y{i}"), "w > 0"),
+            (lambda i: (f"((((x0 + x1 + x2) / 3.0) + 0.25 * (x{i} - ((x0 + x1 + x2) / 3.0))) + 20.0)",
+                        f"(((y0 + y1 + y2) / 3.0) + 0.25 * (y{i} - ((y0 + y1 + y2) / 3.0)))"),
+             "w <= 0")], "MultiPolygon"),
         "multipoint_roundtrip": _multipoint_vertices_sql(),
         "typed_values": """
 SELECT n_nationkey AS nk_id, n_name AS name, n_nationkey AS nk,
@@ -1508,11 +1554,27 @@ def _two_ring_vertices_sql(r1_vertex, keep0: str, keep1: str,
     ring 0 = the base triangle, ring 1 = ``r1_vertex(i) -> (x_sql, y_sql)``;
     per-ring winding-reversal keep predicate over the closed-ring int
     shoelace w (``keep0``/``keep1``, e.g. 'w > 0')."""
+    return _multi_ring_vertices_sql(
+        [(lambda i: (f"x{i}", f"y{i}"), keep0), (r1_vertex, keep1)], gtype)
+
+
+def _multi_ring_vertices_sql(ring_defs, gtype: str) -> str:
+    """N-ring generalization of the triangle-ring roundtrip oracle:
+    ``ring_defs`` = list of (vertex_fn(i) -> (x_sql, y_sql), keep_pred);
+    ring r's decoded order keeps the input vertex order iff keep_pred holds
+    on the closed-ring int shoelace w (the encoder's winding enforcement,
+    write_geometry.go:277-289), else vertices 1 and 2 swap."""
     from .spatial import polygons
     tx5, ty5 = geo.sql_tile_xy(Z_POLY, "q.qlat", "q.qlng")
-    r0 = ", ".join(f"x{i} AS rx{i}, y{i} AS ry{i}" for i in range(3))
-    r1 = ", ".join(f"{r1_vertex(i)[0]} AS rx{i}, {r1_vertex(i)[1]} AS ry{i}"
-                   for i in range(3))
+    ring_sel = "\n  UNION ALL\n".join(
+        "  SELECT n_nationkey, tx, ty, {r} AS r, {cols} FROM tiled".format(
+            r=r, cols=", ".join(
+                f"{fn(i)[0]} AS rx{i}, {fn(i)[1]} AS ry{i}"
+                for i in range(3)))
+        for r, (fn, _) in enumerate(ring_defs))
+    keep_case = ("CASE " + " ".join(
+        f"WHEN r = {r} THEN ({keep})"
+        for r, (_, keep) in enumerate(ring_defs)) + " END")
     qz_cols = []
     for i in range(3):
         ix, iy = geo.sql_tile_int_xy(Z_POLY, "tx", "ty", f"rx{i}", f"ry{i}")
@@ -1524,14 +1586,12 @@ tiled AS (
   SELECT t.*, {tx5} AS tx, {ty5} AS ty
   FROM triangles t JOIN qpts q ON q.qid = t.n_nationkey),
 rings AS (
-  SELECT n_nationkey, tx, ty, 0 AS r, {r0} FROM tiled
-  UNION ALL
-  SELECT n_nationkey, tx, ty, 1 AS r, {r1} FROM tiled),
+{ring_sel}),
 qz AS (SELECT n_nationkey, r, {', '.join(qz_cols)} FROM rings),
 o AS (SELECT *,
       (ix1-ix0)*(iy1+iy0) + (ix2-ix1)*(iy2+iy1) + (ix0-ix2)*(iy0+iy2) AS w
       FROM qz),
-k AS (SELECT *, CASE WHEN r = 0 THEN ({keep0}) ELSE ({keep1}) END AS keep
+k AS (SELECT *, {keep_case} AS keep
       FROM o)
 SELECT n_nationkey AS nk, CAST(r AS INT) AS r, CAST(g.j AS INT) AS j,
   CASE g.j WHEN 0 THEN ix0 WHEN 3 THEN ix0

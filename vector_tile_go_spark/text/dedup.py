@@ -79,7 +79,14 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     Dedup is doc-LOCAL (array_distinct before the explode), so the whole
     shingle table is produced map-side with ZERO shuffle — the former
     global DISTINCT exchanged one row per (doc, shingle), which at corpus
-    scale is the largest relation in the dedup pipeline."""
+    scale is the largest relation in the dedup pipeline.
+
+    INPUT CONTRACT: exactly ONE input row per ``key_col`` value. A doc_id
+    spanning multiple rows would emit duplicate (doc_id, shingle) pairs,
+    inflating ngram_jaccard_pairs' count(*)-based sizes/intersections and
+    the LSH band buckets (ADVICE r4). Pre-aggregate the text per key
+    (e.g. groupBy(key).agg(concat_ws(' ', collect_list(text)))) before
+    calling if the source is sharded."""
     toks = docs.select(key_col, F.split(F.col(text_col), " ").alias("toks"))
     return toks.select(
         key_col,
