@@ -252,3 +252,28 @@ def test_cosine_block_plan_two_scales(spark, sf_dir):
            cosine_pairs(emb, threshold=0.35, n_blocks=None,
                         chunks_per_block=None).collect()}
     assert got == expected
+
+
+def test_cosine_pairs_jvm_pair_table(spark, sf_dir):
+    """VERDICT r4 #7: the block-pair table is built JVM-side (spark.range)
+    — result identical at two block counts and the plan keeps broadcast
+    equi-joins with no cartesian product."""
+    import numpy as np
+
+    from vector_tile_go_spark.similarity.ann import _normalize, cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80).cache()
+    pdf = emb.toPandas()
+    m = _normalize(np.array(list(pdf["embedding"]), dtype=np.float64))
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    r, c = np.where(m @ m.T >= 0.35)
+    keep = ids[r] < ids[c]
+    expected = set(zip(ids[r][keep].tolist(), ids[c][keep].tolist()))
+    for nb in (2, 5):
+        out = cosine_pairs(emb, threshold=0.35, n_blocks=nb)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        got = {(row["va"], row["vb"]) for row in out.collect()}
+        assert got == expected, f"n_blocks={nb} diverges"

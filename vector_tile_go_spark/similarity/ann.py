@@ -301,12 +301,15 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.35,
               .agg(F.collect_list(F.struct(F.col(key_col).alias("id"),
                                            F.col(vec_col).alias("v")))
                    .alias("items")))
-    # explicit block-pair driver table (B*(B+1)/2 tiny rows) + broadcast
+    # explicit block-pair table (B*(B+1)/2 tiny rows) + broadcast
     # equi-joins — not a non-equi nested-loop join. Side 0 carries block
     # bi's chunk rows, side 1 block bj's (diagonal pairs need only side 0).
-    pair_rows = [(bi, bj) for bi in range(n_blocks)
-                 for bj in range(bi, n_blocks)]
-    pairs_df = spark.createDataFrame(pair_rows, "bi int, bj int")
+    # Built JVM-side from spark.range so a B~4000 auto-sizing (~8M pairs)
+    # never materializes a Python list through createDataFrame.
+    pairs_df = (spark.range(n_blocks * n_blocks)
+                .select((F.col("id") / n_blocks).cast("int").alias("bi"),
+                        F.pmod("id", F.lit(n_blocks)).cast("int").alias("bj"))
+                .filter(F.col("bi") <= F.col("bj")))
     a_side = (F.broadcast(pairs_df)
               .join(packed.withColumnRenamed("blk", "bi"), "bi")
               .select("bi", "bj", F.lit(0).alias("side"), "items"))
