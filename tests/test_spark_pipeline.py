@@ -12,8 +12,30 @@ def test_pages_shape(spark, sf_dir):
     assert [f.name for f in pages.schema.fields] == \
         ["url", "warc_ts", "html", "text", "lang"]
     row = pages.filter(F.col("url").endswith("/doc/2")).first()
-    assert row.html.decode("utf-8") == f"<html><body><p>{row.text}</p></body></html>"
+    h = row.html.decode("utf-8")
+    assert h.startswith("<html><head><title>Doc 2</title>")
+    assert f'<p class="main">{row.text}</p>' in h
+    assert "<script>" in h and "<nav>" in h and "&amp;" in h
     assert " geo: lat=" in row.text
+
+
+def test_html_to_text_strip(spark, sf_dir):
+    """html_to_text drops script/style/nav/footer subtrees, strips tags,
+    decodes entities AFTER stripping, collapses whitespace."""
+    from vector_tile_go_spark.text.pages import build_pages, html_to_text
+    out = html_to_text(build_pages(spark, sf_dir)) \
+        .filter(F.col("url").endswith("/doc/2")).first()
+    t = out["extracted_text"]
+    assert t.startswith("Doc 2 Doc 2 ")
+    assert t.endswith(' Rated 4/5 & "good" <3')
+    assert "track(" not in t and "Home" not in t and "color" not in t
+    assert "<p" not in t and "&amp;" not in t and "  " not in t
+    # entity-encoded markup never becomes live markup
+    row = spark.createDataFrame(
+        pd.DataFrame({"html": [
+            "&lt;script&gt;evil()&lt;/script&gt; ok".encode()]}))
+    got = html_to_text(row).first()["extracted_text"]
+    assert got == "<script>evil()</script> ok"
 
 
 def test_extraction_deterministic(spark, sf_dir):

@@ -15,7 +15,7 @@ from .sparkops.udfs import (decode_tile_stats, decode_tiles,
                             encode_point_tiles, tile_stats)
 from .text import geo
 from .text.pages import (assign_tiles, build_pages, extract_geo_entities,
-                         load_documents)
+                         html_to_text, load_documents)
 
 ZOOM = 12
 REDUCE_STEPS = 8  # feature_reduce.go:10 default_steps
@@ -812,6 +812,21 @@ def q_polygon_holes_roundtrip(spark, sf_dir):
     return _geom_vertices(df, "Polygon", "nations_h")
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction over the ``html: binary`` input column
+    (VERDICT r4 missing #3): boilerplate subtrees dropped, tags stripped,
+    entities decoded, whitespace collapsed — all JVM built-ins. The oracle
+    derives the expected text directly from ``documents`` (independent
+    construction, not a re-run of the regex chain), so it checks the
+    chain's SEMANTICS, not just cross-engine regex parity."""
+    e = html_to_text(build_pages(spark, sf_dir))
+    return e.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.col("extracted_text").alias("main_text"),
+        F.length("extracted_text").alias("n_extracted"))
+
+
 def q_multipolygon_holes_roundtrip(spark, sf_dir):
     """MultiPolygon WITH interior rings through the distributed encoder
     (VERDICT r4 missing #2): two polygons per nation — the base triangle
@@ -1132,6 +1147,7 @@ QUERIES = {
     "pip_holes": q_pip_holes,
     "fingerprint_winnow": q_fingerprint_winnow,
     "tile_assign": q_tile_assign,
+    "html_extract": q_html_extract,
     "bbox_by_lang": q_bbox_by_lang,
     "reduce_points": q_reduce_points,
     "tile_dict_stats": q_tile_dict_stats,
@@ -1145,7 +1161,6 @@ QUERIES = {
     "pip_join": q_pip_join,
     "knn": q_knn,
     "hex_rollup": q_hex_rollup,
-    "hex_pip": q_hex_pip,
     "raster_occupancy": q_raster_occupancy,
     "compositing": q_compositing,
     "filter_layer": q_filter_layer,
@@ -1164,6 +1179,7 @@ QUERIES = {
     # --- position 51+: driver-verified in r4 (CORRECTNESS_r04.json);
     # near-twins of retained head queries; local gate keeps them green
     "shipping_priority": q_shipping_priority,
+    "hex_pip": q_hex_pip,
     "geo_extract": q_geo_extract,
     "tile_rollup": q_tile_rollup,
     "overzoom_pyramid": q_overzoom_pyramid,
@@ -1221,6 +1237,14 @@ def oracle_queries() -> dict[str, str]:
         "upsert_splice": _mentions_oracle(
             "SELECT z, x, y, COUNT(*) AS n_features FROM tiled GROUP BY z, x, y",
             zoom=ZOOM),
+        "html_extract": f"""
+SELECT doc_id, main_text, length(main_text) AS n_extracted
+FROM (SELECT d.doc_id,
+        trim(regexp_replace(
+          'Doc ' || CAST(d.doc_id AS VARCHAR) || ' Doc ' ||
+          CAST(d.doc_id AS VARCHAR) || ' ' || {geo.sql_page_text('d')} ||
+          ' Rated 4/5 & "good" <3', '\\s+', ' ', 'g')) AS main_text
+      FROM documents d)""",
         "exact_dedup": """
 SELECT md5(substr(text, 1, 64)) AS text_hash, COUNT(*) AS n_docs,
        MIN(doc_id) AS min_doc_id

@@ -78,6 +78,30 @@ mentions AS (
 )"""
 
 
+def sql_udeg_str(u: str) -> str:
+    """DuckDB twin of udeg_to_str: fixed 6-decimal rendering of a
+    micro-degree BIGINT via pure integer ops."""
+    return (f"(CASE WHEN ({u}) < 0 THEN '-' ELSE '' END || "
+            f"CAST(abs({u}) // 1000000 AS VARCHAR) || '.' || "
+            f"lpad(CAST(abs({u}) % 1000000 AS VARCHAR), 6, '0'))")
+
+
+def sql_page_text(alias: str = "d") -> str:
+    """DuckDB twin of build_pages' text column: document text plus the
+    ``doc_id % 4`` rendered geo mentions, byte-identical to mention_str."""
+    terms = [f"{alias}.text"]
+    for j in range(3):
+        lat_u = (f"({alias}.doc_id * {LAT_MULT_DOC} + {j} * {LAT_MULT_J}) "
+                 f"% {LAT_MOD} - {LAT_OFF}")
+        lng_u = (f"({alias}.doc_id * {LNG_MULT_DOC} + {j} * {LNG_MULT_J}) "
+                 f"% {LNG_MOD} - {LNG_OFF}")
+        terms.append(
+            f"CASE WHEN {alias}.doc_id % 4 > {j} THEN ' geo: lat=' || "
+            f"{sql_udeg_str(lat_u)} || ', lng=' || {sql_udeg_str(lng_u)} "
+            f"|| ';' ELSE '' END")
+    return "(" + " || ".join(terms) + ")"
+
+
 def sql_tile_xy(zoom: int, lat_expr: str = "lat", lng_expr: str = "lng") -> tuple[str, str]:
     """SQL expressions for slippy tile x/y at ``zoom`` (mercantile formula
     with mercantile's clamp), matching tilemath.lnglat_to_tile."""
