@@ -409,6 +409,21 @@ def q_knn(spark, sf_dir):
                       F.col("mention_idx").alias("j"), "dist2")
 
 
+def q_knn_haversine(spark, sf_dir):
+    """Great-circle kNN (VERDICT r4 #8): same escalating ring join as knn
+    but ranking by haversine km with the conservative spherical margin.
+    Output carries ids/ranks only — the transcendental distance itself is
+    engine-rounding-sensitive, the ORDERING is what the oracle checks."""
+    from .spatial.knn import knn_join
+    from .spatial.polygons import query_points
+    e = extract_geo_entities(build_pages(spark, sf_dir))
+    q = query_points(spark, sf_dir)
+    out = knn_join(q, e.select("lat", "lng", "doc_id", "mention_idx"), k=5,
+                   metric="haversine")
+    return out.select("qid", "rank", "doc_id",
+                      F.col("mention_idx").alias("j"))
+
+
 def q_hex_rollup(spark, sf_dir):
     """Hex cell index rollup (spatial/hexgrid.py — the north rule's
     H3-style grid): every mention assigned to its axial hex cell via cube
@@ -1160,6 +1175,7 @@ QUERIES = {
     "hot_domains": q_hot_domains,
     "pip_join": q_pip_join,
     "knn": q_knn,
+    "knn_haversine": q_knn_haversine,
     "hex_rollup": q_hex_rollup,
     "raster_occupancy": q_raster_occupancy,
     "compositing": q_compositing,
@@ -1175,9 +1191,9 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "cosine_pairs": q_cosine_pairs,
     "multimodal_decode": q_multimodal_decode,
-    "events_windows": q_events_windows,
     # --- position 51+: driver-verified in r4 (CORRECTNESS_r04.json);
     # near-twins of retained head queries; local gate keeps them green
+    "events_windows": q_events_windows,
     "shipping_priority": q_shipping_priority,
     "hex_pip": q_hex_pip,
     "geo_extract": q_geo_extract,
@@ -1392,6 +1408,17 @@ FROM documents""",
             "    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY "
             "      (m.lat - q.qlat) * (m.lat - q.qlat) + "
             "      (m.lng - q.qlng) * (m.lng - q.qlng), m.doc_id, m.j) AS rank "
+            "  FROM qpts q CROSS JOIN mentions m) WHERE rank <= 5",
+            extra_cte=",\n" + polygons.sql_query_points_cte()),
+        "knn_haversine": _mentions_oracle(
+            "SELECT qid, rank, doc_id, j FROM ("
+            "  SELECT q.qid, m.doc_id, m.j, "
+            "    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY "
+            "      2 * 6371.0088 * ASIN(SQRT(LEAST(1.0, "
+            "        POWER(SIN((RADIANS(m.lat) - RADIANS(q.qlat)) / 2), 2) + "
+            "        COS(RADIANS(q.qlat)) * COS(RADIANS(m.lat)) * "
+            "        POWER(SIN((RADIANS(m.lng) - RADIANS(q.qlng)) / 2), 2)"
+            "      ))), m.doc_id, m.j) AS rank "
             "  FROM qpts q CROSS JOIN mentions m) WHERE rank <= 5",
             extra_cte=",\n" + polygons.sql_query_points_cte()),
         "hex_rollup": _hex_rollup_oracle(),

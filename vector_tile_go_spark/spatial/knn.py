@@ -11,23 +11,46 @@ escalating ring search on the uniform grid (cells.grid_cell_cols):
 The guarantee makes the result *exact* (identical to brute force), which is
 what the DuckDB oracle checks; the ring plan just avoids the cross join.
 Metric: squared euclidean in degrees (documented engine metric — keeps the
-oracle bit-exact; a haversine variant would be a drop-in kernel swap).
+oracle bit-exact), or great-circle haversine (``metric='haversine'``,
+dist2 in km^2) with an antimeridian-aware conservative margin.
 
 Determinism: ties broken by (dist2, doc_id, mention_idx) ordering.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import cells
 
+EARTH_RADIUS_KM = 6371.0088
+
+
+def _euclid_deg2() -> Column:
+    return ((F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) +
+            (F.col("lng") - F.col("qlng")) * (F.col("lng") - F.col("qlng")))
+
+
+def _haversine_km2() -> Column:
+    """Squared great-circle distance in km (squared so sqrt(kth) stays the
+    loop's units contract, matching the euclid metric)."""
+    qphi, phi = F.radians(F.col("qlat")), F.radians(F.col("lat"))
+    dphi, dlmb = (phi - qphi) / 2.0, (F.radians(F.col("lng"))
+                                      - F.radians(F.col("qlng"))) / 2.0
+    h = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(qphi) * F.cos(phi) * F.sin(dlmb) * F.sin(dlmb))
+    d = 2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+    return d * d
+
 
 def escalating_knn(q: DataFrame, p: DataFrame, k: int, qkey: str,
                    expand_fn, join_on, drop_cols: tuple[str, ...],
-                   margin_fn, max_rounds: int) -> DataFrame:
+                   margin_fn, max_rounds: int,
+                   dist2_expr: Column | None = None) -> DataFrame:
     """Shared exact-kNN escalation loop, parameterized by the cell system:
 
     - ``expand_fn(pending, rad)`` explodes pending queries into candidate
@@ -42,9 +65,13 @@ def escalating_knn(q: DataFrame, p: DataFrame, k: int, qkey: str,
     stragglers after ``max_rounds`` fall back to brute force. Lineage is
     localCheckpoint'ed per round, the result is materialized and the
     cached point table released. Used by the quadtree-grid knn_join and
-    the hex-grid hex_knn_join so the loop semantics can never diverge."""
-    dist2 = ((F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) +
-             (F.col("lng") - F.col("qlng")) * (F.col("lng") - F.col("qlng")))
+    the hex-grid hex_knn_join so the loop semantics can never diverge.
+
+    ``dist2_expr``: the metric as a SQUARED-distance Column (default
+    squared euclidean degrees) — ``margin_fn`` must return the covered
+    radius in the matching unsquared units, since satisfaction tests
+    sqrt(kth) < margin."""
+    dist2 = _euclid_deg2() if dist2_expr is None else dist2_expr
     w = Window.partitionBy(qkey).orderBy("dist2", "doc_id", "mention_idx")
 
     results = None
@@ -98,10 +125,19 @@ def escalating_knn(q: DataFrame, p: DataFrame, k: int, qkey: str,
 
 
 def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
-             qkey: str = "qid", max_rounds: int = 6) -> DataFrame:
+             qkey: str = "qid", max_rounds: int = 6,
+             metric: str = "euclid") -> DataFrame:
     """queries(qkey, qlat, qlng) x points(lat, lng, doc_id, mention_idx) ->
     (qkey, rank, doc_id, mention_idx, dist2), exactly k rows per query
-    (fewer only if the whole table has < k points)."""
+    (fewer only if the whole table has < k points).
+
+    ``metric``: 'euclid' (squared degrees — the bit-exact oracle metric) or
+    'haversine' (great-circle; dist2 in km^2). Both are EXACT: the
+    haversine margin lower-bounds the covered great-circle radius of the
+    searched cell box (including the antimeridian short way), so a query
+    only settles when no unsearched point can beat its kth neighbor."""
+    if metric not in ("euclid", "haversine"):
+        raise ValueError(f"unknown metric {metric!r}")
     qx, qy = cells.grid_cell_cols(F.col("qlat"), F.col("qlng"))
     q = queries.select(qkey, "qlat", "qlng").withColumn("gx", qx).withColumn("gy", qy)
     px, py = cells.grid_cell_cols(F.col("lat"), F.col("lng"))
@@ -112,15 +148,18 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
     def expand(pending, rad):
         return cells.ring_cells(pending, "gx", "gy", rad)
 
+    def _box(rad):
+        step = cells.GRID_STEP
+        return ((F.col("gx") - rad) * step - 180.0,
+                (F.col("gx") + rad + 1) * step - 180.0,
+                (F.col("gy") - rad) * step - 90.0,
+                (F.col("gy") + rad + 1) * step - 90.0)
+
     def margin(rad):
         # guarantee radius: distance from q to the nearest edge of the
         # searched square [ (gx-rad)*step-180, (gx+rad+1)*step-180 ] etc.;
         # clamped edges (grid border) count as covered -> infinite margin
-        step = cells.GRID_STEP
-        gxl = (F.col("gx") - rad) * step - 180.0
-        gxr = (F.col("gx") + rad + 1) * step - 180.0
-        gyl = (F.col("gy") - rad) * step - 90.0
-        gyr = (F.col("gy") + rad + 1) * step - 90.0
+        gxl, gxr, gyl, gyr = _box(rad)
         return F.least(
             F.when((F.col("gx") - rad) <= 0, F.lit(1e9))
             .otherwise(F.col("qlng") - gxl),
@@ -132,18 +171,57 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
             .otherwise(gyr - F.col("qlat")),
         )
 
+    def margin_hav(rad):
+        # Conservative covered great-circle radius (km) of the searched
+        # box. Lat edges: central angle >= delta-lat always, so the
+        # meridian arc to the band edge lower-bounds any point beyond it.
+        # Lng edges: for a point inside the lat band beyond the edge,
+        # hav(theta) >= cos(qlat) * min-band-cos * hav(dlng), and the
+        # effective dlng takes the SHORT WAY round the antimeridian
+        # (min(edge gap, wrap gap to the region's far end at +-180)), so
+        # seam-adjacent neighbors can never be wrongly excluded. cos is
+        # unimodal in lat, so the band minimum is at an endpoint.
+        gxl, gxr, gyl, gyr = _box(rad)
+        qphi = F.radians(F.col("qlat"))
+        cmin = F.least(
+            F.cos(F.radians(F.greatest(gyl, F.lit(-90.0)))),
+            F.cos(F.radians(F.least(gyr, F.lit(90.0)))))
+
+        def lng_edge_km(dlng_deg):
+            half = F.radians(dlng_deg) / 2.0
+            s = (F.sqrt(F.greatest(F.cos(qphi) * cmin, F.lit(0.0)))
+                 * F.sin(F.least(half, F.lit(math.pi / 2.0))))
+            return (2.0 * EARTH_RADIUS_KM
+                    * F.asin(F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0))))
+
+        d_w = F.least(F.col("qlng") - gxl, (180.0 - F.col("qlng")))
+        d_e = F.least(gxr - F.col("qlng"), (F.col("qlng") + 180.0))
+        return F.least(
+            F.when((F.col("gx") - rad) <= 0, F.lit(1e9))
+            .otherwise(lng_edge_km(d_w)),
+            F.when((F.col("gx") + rad) >= cells.GRID_NX - 1, F.lit(1e9))
+            .otherwise(lng_edge_km(d_e)),
+            F.when((F.col("gy") - rad) <= 0, F.lit(1e9))
+            .otherwise(EARTH_RADIUS_KM
+                       * F.radians(F.col("qlat") - gyl)),
+            F.when((F.col("gy") + rad) >= cells.GRID_NY - 1, F.lit(1e9))
+            .otherwise(EARTH_RADIUS_KM
+                       * F.radians(gyr - F.col("qlat"))),
+        )
+
+    hav = metric == "haversine"
     return escalating_knn(
         q, p, k, qkey, expand,
         lambda e, pp: (e.rx == pp.pgx) & (e.ry == pp.pgy),
-        ("pgx", "pgy"), margin, max_rounds)
+        ("pgx", "pgy"), margin_hav if hav else margin, max_rounds,
+        dist2_expr=_haversine_km2() if hav else None)
 
 
 def knn_bruteforce(queries: DataFrame, points: DataFrame, k: int = 5,
-                   qkey: str = "qid") -> DataFrame:
+                   qkey: str = "qid", metric: str = "euclid") -> DataFrame:
     """Reference implementation (cross join + window) — the oracle twin and
     the baseline the ring plan must beat at scale."""
-    dist2 = ((F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) +
-             (F.col("lng") - F.col("qlng")) * (F.col("lng") - F.col("qlng")))
+    dist2 = _haversine_km2() if metric == "haversine" else _euclid_deg2()
     w = Window.partitionBy(qkey).orderBy("dist2", "doc_id", "mention_idx")
     return (queries.select(qkey, "qlat", "qlng")
             .crossJoin(points.select("lat", "lng", "doc_id", "mention_idx"))
