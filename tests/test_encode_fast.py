@@ -94,3 +94,100 @@ def test_bulk_noncontiguous_slices_and_array_z():
                                    {"url": urls, "mention_idx": mis},
                                    starts_all, ends_all, "geo")
     assert got == full[:-1]
+
+
+def _bulk_vs_scalar(geom_type, rows_by_tile, props_by_tile, ids_by_tile,
+                    extent_clamp=False):
+    """Encode the same features via encode_layer (scalar Cursor path) and
+    encode_geom_tiles_bulk; return (scalar bytes list, bulk bytes list)."""
+    import numpy as np
+
+    from vector_tile_go_spark.codec.encode import encode_layer
+    from vector_tile_go_spark.codec.encode_fast import (
+        encode_geom_tiles_bulk, flatten_geom_rows)
+    tiles = sorted(rows_by_tile)
+    scalar = []
+    for t in tiles:
+        feats = [{"type": geom_type, "coordinates": c, "properties": pr,
+                  "id": fid}
+                 for c, pr, fid in zip(rows_by_tile[t], props_by_tile[t],
+                                       ids_by_tile[t])]
+        scalar.append(encode_layer(feats, t[0], t[1], t[2], "g",
+                                   extent_clamp=extent_clamp))
+    all_rows, all_props, all_ids, xs, ys, zs = [], [], [], [], [], []
+    starts, ends = [], []
+    for t in tiles:
+        starts.append(len(all_rows))
+        all_rows.extend(rows_by_tile[t])
+        all_props.extend(props_by_tile[t])
+        all_ids.extend(ids_by_tile[t])
+        ends.append(len(all_rows))
+        zs.extend([t[0]] * len(rows_by_tile[t]))
+        xs.extend([t[1]] * len(rows_by_tile[t]))
+        ys.extend([t[2]] * len(rows_by_tile[t]))
+    keys = sorted(all_props[0]) if all_props else []
+    prop_cols = {k: np.array([p[k] for p in all_props], dtype=object)
+                 for k in keys}
+    verts, ring_lens, ring_feat, firsts = flatten_geom_rows(geom_type,
+                                                            all_rows)
+    bulk, nf = encode_geom_tiles_bulk(
+        np.array(zs), np.array(xs), np.array(ys), np.array(all_ids),
+        prop_cols, starts, ends, "g", geom_type, verts, ring_lens,
+        ring_feat, firsts, clamp=extent_clamp)
+    return scalar, bulk
+
+
+def test_geom_bulk_byte_identity():
+    """encode_geom_tiles_bulk == encode_layer byte-for-byte across line/
+    polygon shapes: winding reversal, unclosed rings, holes, zero-delta
+    drops, degenerate truncation/abort, shared dictionaries, multi-tile."""
+    import vector_tile_go_spark.tilemath as tm
+    z, x, y = 7, 41, 53
+    w, s, e, n = tm.tile_bounds(z, x, y)
+
+    def pt(fx, fy, dx=0, dy=0):
+        return [w + fx * (e - w) + dx, s + fy * (n - s) + dy]
+
+    tri = [pt(.1, .1), pt(.5, .1), pt(.3, .5)]            # open ring
+    tri_rev = [pt(.1, .1), pt(.3, .5), pt(.5, .1)]        # opposite winding
+    hole = [pt(.25, .2), pt(.35, .2), pt(.3, .3)]
+    eps = 1e-9                                            # sub-quantum
+    cases = {
+        "LineString": [
+            [pt(.1, .1), pt(.2, .2), pt(.2 + eps, .2 + eps), pt(.4, .1)],
+            [pt(.6, .6), pt(.6 + eps, .6)],               # aborted
+            [pt(.7, .2), pt(.9, .9)],
+        ],
+        "MultiLineString": [
+            [[pt(.1, .1), pt(.3, .3)], [pt(.5, .5), pt(.5 + eps, .5)],
+             [pt(.6, .1), pt(.8, .2)]],                    # middle truncated
+        ],
+        "Polygon": [
+            [tri, hole], [tri_rev], [tri + [tri[0]]],      # closed input
+        ],
+        "MultiPolygon": [
+            [[tri, hole], [[pt(.6, .6), pt(.9, .6), pt(.75, .9)]]],
+        ],
+    }
+    for gt, rows in cases.items():
+        rows_by_tile = {(z, x, y): rows, (z, x + 1, y): rows[:1]}
+        props = {(z, x, y): [{"nk": str(i % 2), "m": "x"}
+                             for i in range(len(rows))],
+                 (z, x + 1, y): [{"nk": "9", "m": "x"}]}
+        ids = {(z, x, y): list(range(1, len(rows) + 1)),
+               (z, x + 1, y): [7]}
+        scalar, bulk = _bulk_vs_scalar(gt, rows_by_tile, props, ids)
+        for i, (sb, bb) in enumerate(zip(scalar, bulk)):
+            assert sb == bb, f"{gt} tile {i}: bulk diverges from scalar"
+
+
+def test_geom_bulk_clamped_and_noprops():
+    z, x, y = 5, 9, 11
+    import vector_tile_go_spark.tilemath as tm
+    w, s, e, n = tm.tile_bounds(z, x, y)
+    line = [[w - 5.0, s + 1.0], [e + 5.0, n - 1.0], [w + 1.0, s + 0.5]]
+    rows_by_tile = {(z, x, y): [line]}
+    scalar, bulk = _bulk_vs_scalar("LineString", rows_by_tile,
+                                   {(z, x, y): [{}]}, {(z, x, y): [3]},
+                                   extent_clamp=True)
+    assert scalar[0] == bulk[0]

@@ -116,6 +116,46 @@ def _write_varints(buf: np.ndarray, pos: np.ndarray, vals: np.ndarray,
         buf[pos[m] + b] = bv
 
 
+def _props_dict_bulk(cols, tile_of_row, ntiles: int, nrows: int):
+    """Per-tile shared value dictionary, indexed in first-appearance order
+    (feature-major, column-minor): one global pd.factorize + a per-tile
+    first-seen rank over the (tile, value) uniques. ``cols`` are object
+    arrays of str in sorted-key order. Returns
+    (vi, vilen, pl_u, props_len, counts, enc_uniques, codes_in_order, kp)
+    — shared by the point and line/polygon bulk encoders so the dictionary
+    bytes can never diverge between them."""
+    import pandas as pd
+
+    ncols = len(cols)
+    mat = np.empty((nrows, ncols), dtype=object)
+    for j, c in enumerate(cols):
+        mat[:, j] = c
+    codes, uniques = pd.factorize(mat.ravel())  # row-major = dict order
+    U = max(len(uniques), 1)
+    combined = np.repeat(tile_of_row, ncols) * U + codes
+    uniq_c, first_idx, inverse = np.unique(
+        combined, return_index=True, return_inverse=True)
+    tile_of_uniq = uniq_c // U
+    order = np.lexsort((first_idx, tile_of_uniq))
+    counts = np.bincount(tile_of_uniq, minlength=ntiles)
+    tile_u_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ranks = np.empty(len(uniq_c), dtype=np.int64)
+    ranks[order] = (np.arange(len(uniq_c)) -
+                    np.repeat(tile_u_starts, counts))
+    vi = ranks[inverse].reshape(nrows, ncols).astype(np.uint64)
+    vilen = _varlen_u64(vi.ravel()).reshape(nrows, ncols)
+    # encode each GLOBAL unique value once; per-tile streams gather the
+    # pre-encoded bytes (O(global uniques) _value_str calls, not
+    # O(tile-distinct) — the profiled residue of the r3 loop)
+    enc_uniques = [_value_str(v) for v in uniques]
+    codes_in_order = (uniq_c[order] % U).tolist()
+    kp = [_varint(j) for j in range(ncols)]
+    payload_len = vilen.sum(axis=1) + sum(len(b) for b in kp)
+    pl_u = payload_len.astype(np.uint64)
+    props_len = 1 + _varlen_u64(pl_u) + payload_len
+    return vi, vilen, pl_u, props_len, counts, enc_uniques, codes_in_order, kp
+
+
 def encode_point_tiles_bulk(z: int, x_arr, y_arr, lng, lat, ids,
                             prop_cols: dict[str, np.ndarray],
                             starts, ends, layer_name: str,
@@ -181,32 +221,9 @@ def encode_point_tiles_bulk(z: int, x_arr, y_arr, lng, lat, ids,
     # first-appearance order (feature-major, column-minor) — one global
     # factorize + a per-tile first-seen rank over the (tile, value) uniques
     if ncols:
-        mat = np.empty((nrows, ncols), dtype=object)
-        for j, c in enumerate(cols):
-            mat[:, j] = c
-        codes, uniques = pd.factorize(mat.ravel())  # row-major = dict order
-        U = max(len(uniques), 1)
-        combined = np.repeat(tile_of_row, ncols) * U + codes
-        uniq_c, first_idx, inverse = np.unique(
-            combined, return_index=True, return_inverse=True)
-        tile_of_uniq = uniq_c // U
-        order = np.lexsort((first_idx, tile_of_uniq))
-        counts = np.bincount(tile_of_uniq, minlength=ntiles)
-        tile_u_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        ranks = np.empty(len(uniq_c), dtype=np.int64)
-        ranks[order] = (np.arange(len(uniq_c)) -
-                        np.repeat(tile_u_starts, counts))
-        vi = ranks[inverse].reshape(nrows, ncols).astype(np.uint64)
-        vilen = _varlen_u64(vi.ravel()).reshape(nrows, ncols)
-        # encode each GLOBAL unique value once; per-tile streams gather the
-        # pre-encoded bytes (O(global uniques) _value_str calls, not
-        # O(tile-distinct) — the profiled residue of the r3 loop)
-        enc_uniques = [_value_str(v) for v in uniques]
-        codes_in_order = (uniq_c[order] % U).tolist()
-        kp = [_varint(j) for j in range(ncols)]
-        payload_len = vilen.sum(axis=1) + sum(len(b) for b in kp)
-        pl_u = payload_len.astype(np.uint64)
-        props_len = 1 + _varlen_u64(pl_u) + payload_len
+        (vi, vilen, pl_u, props_len, counts, enc_uniques,
+         codes_in_order, kp) = _props_dict_bulk(cols, tile_of_row, ntiles,
+                                                nrows)
     else:
         props_len = np.zeros(nrows, dtype=np.int64)
 
@@ -281,3 +298,272 @@ def encode_point_tiles_bulk(z: int, x_arr, y_arr, lng, lat, ids,
         body = name_bytes + fb + keys_bytes + vb + tail
         out.append(b"\x1a" + _varint(len(body)) + body)
     return out
+
+
+def encode_geom_tiles_bulk(z, x_arr, y_arr, ids, prop_cols,
+                           starts, ends, layer_name: str, geom_type: str,
+                           verts, ring_lens, ring_feat, ring_first_of_poly,
+                           extent: int = 4096,
+                           clamp: bool = False):
+    """Bulk LineString/Polygon/Multi* layer encoder (VERDICT r4 task #1):
+    the non-point twin of encode_point_tiles_bulk. Byte-identical to
+    encode.encode_layer with canonical sorted keys — same cursor/delta/
+    winding semantics as the scalar builders (write_geometry.go:108-289),
+    pinned by tests/test_encode_fast.py — but with NO per-feature or
+    per-vertex Python:
+
+    - ring closure (TrimPolygonFloat, :26-35) as one gather expansion
+    - projection of every vertex in one pass (per-feature tile params)
+    - int32 shoelace winding + ring reversal as masked gathers
+    - the per-FEATURE delta chain is one shifted subtract (the cursor
+      carries across rings and resets per feature, so deltas are purely
+      positional), zero-delta LineTo drops as a keep mask, run counts
+      back-patched via bincount
+    - command values scattered into one stream, then the same masked
+      varint scatter + frame assembly as the point kernel
+    - property dictionaries via the shared _props_dict_bulk (aborted
+      features still intern their values, like the scalar add_feature)
+
+    Inputs: per-FEATURE arrays (x_arr/y_arr/ids/prop_cols; ``starts``/
+    ``ends`` = contiguous feature slices per tile) and flattened geometry:
+    ``verts`` (N, 2) float64, ``ring_lens`` (R,), ``ring_feat`` (R,)
+    nondecreasing, ``ring_first_of_poly`` (R,) bool (exterior-ring flag;
+    ignored for lines). LineString features whose single run collapses are
+    aborted exactly like add_feature (write_feature.go:57-59); degenerate
+    MultiLineString parts are truncated in place (write_geometry.go:160).
+
+    Returns (list of layer bytes per tile, encoded-feature count per
+    tile)."""
+    geom_int = 2 if geom_type in ("LineString", "MultiLineString") else 3
+    is_poly = geom_int == 3
+    starts = np.asarray(starts, np.int64)
+    ends = np.asarray(ends, np.int64)
+    ntiles = len(starts)
+    x_f = np.asarray(x_arr, np.float64)
+    y_f = np.asarray(y_arr, np.float64)
+    nfeat = len(x_f)
+    ids = np.asarray(ids, np.int64)
+    ring_lens = np.asarray(ring_lens, np.int64)
+    ring_feat = np.asarray(ring_feat, np.int64)
+    nrings = len(ring_lens)
+    verts = np.asarray(verts, np.float64).reshape(-1, 2)
+
+    # --- close unclosed polygon rings in FLOAT space (TrimPolygonFloat)
+    if is_poly and nrings:
+        rs0 = np.concatenate([[0], np.cumsum(ring_lens)[:-1]])
+        re0 = rs0 + ring_lens - 1
+        needs = ((verts[rs0, 0] != verts[re0, 0]) |
+                 (verts[rs0, 1] != verts[re0, 1]))
+        if needs.any():
+            new_lens = ring_lens + needs
+            ring_of = np.repeat(np.arange(nrings), new_lens)
+            new_rs = np.concatenate([[0], np.cumsum(new_lens)[:-1]])
+            iw = np.arange(int(new_lens.sum())) - new_rs[ring_of]
+            src = rs0[ring_of] + np.where(iw < ring_lens[ring_of], iw, 0)
+            verts = verts[src]
+            ring_lens = new_lens
+
+    nv = len(verts)
+    ring_starts = np.concatenate([[0], np.cumsum(ring_lens)[:-1]])
+    ring_of_vert = np.repeat(np.arange(nrings), ring_lens)
+    idx_within = np.arange(nv) - ring_starts[ring_of_vert]
+    feat_of_vert = ring_feat[ring_of_vert]
+
+    # --- project every vertex with its feature's tile params
+    zv = np.asarray(z)[feat_of_vert] if np.ndim(z) else z
+    px, py = project_points_bulk(zv, x_f[feat_of_vert], y_f[feat_of_vert],
+                                 verts[:, 0], verts[:, 1], extent,
+                                 clamp=clamp)
+
+    # --- winding weight (int32-wrapping shoelace) + ring reversal
+    if is_poly and nv:
+        with np.errstate(over="ignore"):
+            t = ((px[1:] - px[:-1]) * (py[1:] + py[:-1])).astype(np.int32)
+        t = np.where(ring_of_vert[1:] == ring_of_vert[:-1], t, 0) \
+            .astype(np.float64)
+        w = np.add.reduceat(np.concatenate([t, [0.0]]), ring_starts)
+        rev = (w > 0) != np.asarray(ring_first_of_poly, bool)
+        rev_v = rev[ring_of_vert]
+        src = np.where(rev_v,
+                       ring_starts[ring_of_vert]
+                       + ring_lens[ring_of_vert] - 1 - idx_within,
+                       np.arange(nv))
+        px, py = px[src], py[src]
+
+    # --- per-feature positional delta chain (cursor resets per feature,
+    # carries across rings; updated even for dropped zero-deltas)
+    prev_x = np.zeros(nv, np.int32)
+    prev_y = np.zeros(nv, np.int32)
+    if nv:
+        prev_x[1:], prev_y[1:] = px[:-1], py[:-1]
+        ff = np.zeros(nv, bool)
+        ff[0] = True
+        ff[1:] = feat_of_vert[1:] != feat_of_vert[:-1]
+        prev_x[ff] = 0
+        prev_y[ff] = 0
+    with np.errstate(over="ignore"):
+        dx = px - prev_x
+        dy = py - prev_y
+    zzx = tm.zigzag_encode(dx).astype(np.uint64)
+    zzy = tm.zigzag_encode(dy).astype(np.uint64)
+
+    is_start = idx_within == 0
+    keepnz = (~is_start) & ((dx != 0) | (dy != 0))
+    cnt = np.bincount(ring_of_vert[keepnz], minlength=nrings) if nv \
+        else np.zeros(nrings, np.int64)
+    if is_poly:
+        emit = np.ones(nrings, bool)
+        ring_nvals = 4 + 2 * cnt + 1          # +1 = ClosePath
+    else:
+        emit = cnt > 0                        # degenerate runs truncated
+        ring_nvals = np.where(emit, 4 + 2 * cnt, 0)
+    if geom_type == "LineString":
+        kept_rings = np.bincount(ring_feat[emit], minlength=nfeat)
+        aborted = kept_rings == 0             # write_feature.go:57-59
+    else:
+        aborted = np.zeros(nfeat, bool)
+    live = ~aborted
+
+    # --- command-value stream (feature-major because rings are)
+    ring_voffs = np.concatenate([[0], np.cumsum(ring_nvals)[:-1]])
+    vals = np.zeros(int(ring_nvals.sum()), np.uint64)
+    if len(vals):
+        vo = ring_voffs[emit]
+        vals[vo] = 9                                    # cmd(1,1) MoveTo
+        vals[vo + 1] = zzx[ring_starts[emit]]
+        vals[vo + 2] = zzy[ring_starts[emit]]
+        vals[vo + 3] = (2 + 8 * cnt[emit]).astype(np.uint64)  # cmd(2,count)
+        if is_poly:
+            vals[ring_voffs + ring_nvals - 1] = 15      # cmd(7,1) ClosePath
+        csum = np.cumsum(keepnz)
+        ring_base = csum[ring_starts]   # keepnz is False at ring starts
+        k_idx = np.flatnonzero(keepnz)
+        r_k = ring_of_vert[k_idx]
+        pos = ring_voffs[r_k] + 4 + 2 * (csum[k_idx] - ring_base[r_k] - 1)
+        vals[pos] = zzx[k_idx]
+        vals[pos + 1] = zzy[k_idx]
+
+    feat_nvals = np.zeros(nfeat, np.int64)
+    np.add.at(feat_nvals, ring_feat, ring_nvals)
+    vlen = _varlen_u64(vals)
+    vlen_cum = np.concatenate([[0], np.cumsum(vlen)])
+    feat_v_offs = np.concatenate([[0], np.cumsum(feat_nvals)])
+    glen = vlen_cum[feat_v_offs[1:]] - vlen_cum[feat_v_offs[:-1]]
+
+    # --- feature framing (id always written — add_feature semantics for
+    # the geojson path; aborted features get zero-length frames but still
+    # contribute to the dictionaries, like the scalar add_feature)
+    keynames = sorted(prop_cols)
+    cols = [np.asarray(prop_cols[k], dtype=object) for k in keynames]
+    ncols = len(keynames)
+    tile_of_feat = np.repeat(np.arange(ntiles), ends - starts)
+    uid = ids.astype(np.uint64)
+    idnb = _varlen_u64(uid)
+    id_len = 1 + idnb
+    if ncols:
+        (vi, vilen, pl_u, props_len, counts, enc_uniques,
+         codes_in_order, kp) = _props_dict_bulk(cols, tile_of_feat,
+                                                ntiles, nfeat)
+    else:
+        props_len = np.zeros(nfeat, dtype=np.int64)
+    gnb = _varlen_u64(glen.astype(np.uint64))
+    parts_len = id_len + props_len + 2 + (1 + gnb + glen)
+    pnb = _varlen_u64(parts_len.astype(np.uint64))
+    feat_len = np.where(live, 1 + pnb + parts_len, 0)
+    feat_off = np.concatenate([[0], np.cumsum(feat_len)[:-1]])
+    buf = np.zeros(int(feat_len.sum()), dtype=np.uint8)
+
+    p = feat_off[live]
+    if len(p):
+        buf[p] = 0x12
+    _write_varints(buf, p + 1, parts_len[live].astype(np.uint64), pnb[live])
+    p = p + 1 + pnb[live]
+    if len(p):
+        buf[p] = 0x08
+    _write_varints(buf, p + 1, uid[live], idnb[live])
+    p = p + id_len[live]
+    if ncols:
+        if len(p):
+            buf[p] = 0x12
+        plnb = _varlen_u64(pl_u)
+        _write_varints(buf, p + 1, pl_u[live], plnb[live])
+        q = p + 1 + plnb[live]
+        for j in range(ncols):
+            for bi, byte in enumerate(kp[j]):
+                buf[q + bi] = byte
+            q = q + len(kp[j])
+            _write_varints(buf, q, vi[live, j], vilen[live, j])
+            q = q + vilen[live, j]
+        p = p + props_len[live]
+    if len(p):
+        buf[p] = 0x18
+        buf[p + 1] = geom_int
+        buf[p + 2] = 0x22
+    _write_varints(buf, p + 3, glen[live].astype(np.uint64), gnb[live])
+    gposf = np.zeros(nfeat, np.int64)
+    gposf[live] = p + 3 + gnb[live]
+    if len(vals):
+        f_of_val = np.repeat(np.arange(nfeat), feat_nvals)
+        vpos = (gposf[f_of_val] - vlen_cum[feat_v_offs[:-1]][f_of_val]
+                + vlen_cum[:-1])
+        _write_varints(buf, vpos, vals, vlen)
+
+    # --- per-tile frame assembly (O(tiles) Python)
+    name_raw = layer_name.encode("utf-8")
+    name_bytes = b"\x0a" + _varint(len(name_raw)) + name_raw
+    keys_bytes = b"".join(
+        b"\x1a" + _varint(len(k.encode("utf-8"))) + k.encode("utf-8")
+        for k in keynames)
+    tail = b"\x28" + _varint(extent) + b"\x78\x02"
+    feats_all = buf.tobytes()
+    byte_end = feat_off + feat_len
+    out, nf_out, upos = [], np.zeros(ntiles, np.int64), 0
+    for t in range(ntiles):
+        s, e = starts[t], ends[t]
+        fb = feats_all[feat_off[s]:byte_end[e - 1]] if e > s else b""
+        if ncols:
+            c = int(counts[t])
+            vb = b"".join(map(enc_uniques.__getitem__,
+                              codes_in_order[upos:upos + c]))
+            upos += c
+        else:
+            vb = b""
+        body = name_bytes + fb + keys_bytes + vb + tail
+        out.append(b"\x1a" + _varint(len(body)) + body)
+        nf_out[t] = int(live[s:e].sum())
+    return out, nf_out
+
+
+def flatten_geom_rows(geom_type: str, rows):
+    """Per-feature GeoJSON-shaped coordinate lists -> the flat arrays
+    encode_geom_tiles_bulk consumes: (verts, ring_lens, ring_feat,
+    ring_first_of_poly). ``rows`` holds the NORMALIZED shape per feature:
+    LineString = one line (list of points), MultiLineString = list of
+    lines, Polygon = list of rings, MultiPolygon = list of polygons each a
+    list of rings (holes included). Per-RING Python only — the per-vertex
+    work is np.asarray."""
+    verts_parts, ring_lens, ring_feat, first = [], [], [], []
+    for fi, c in enumerate(rows):
+        if geom_type == "LineString":
+            rings, firsts = [c], [True]
+        elif geom_type in ("MultiLineString", "Polygon"):
+            rings = list(c)
+            firsts = [True] * len(rings) if geom_type == "MultiLineString" \
+                else [True] + [False] * (len(rings) - 1)
+        elif geom_type == "MultiPolygon":
+            rings, firsts = [], []
+            for poly in c:
+                rings.extend(poly)
+                firsts.extend([True] + [False] * (len(poly) - 1))
+        else:
+            raise ValueError(f"unsupported geom_type {geom_type!r}")
+        for r in rings:
+            a = np.asarray(r, dtype=np.float64).reshape(-1, 2)
+            verts_parts.append(a)
+            ring_lens.append(len(a))
+            ring_feat.append(fi)
+        first.extend(firsts)
+    verts = (np.concatenate(verts_parts) if verts_parts
+             else np.zeros((0, 2), np.float64))
+    return (verts, np.asarray(ring_lens, np.int64),
+            np.asarray(ring_feat, np.int64), np.asarray(first, bool))

@@ -755,6 +755,124 @@ def transcode_geobuf_tiles(gb_tiles: DataFrame,
     return gb_tiles.mapInPandas(run, TILE_SCHEMA)
 
 
+_BULK_GEOM_TYPES = ("LineString", "MultiLineString", "Polygon",
+                    "MultiPolygon")
+
+
+def _is_4level(coords) -> bool:
+    # [poly][ring][pt][xy] vs [ring][pt][xy]: probe the first leaf —
+    # a coordinate scalar has no __len__, a [x, y] pair does
+    try:
+        v = coords[0][0][0]
+    except (IndexError, KeyError, TypeError):
+        return False
+    return hasattr(v, "__len__")
+
+
+def encode_geom_tiles(features: DataFrame, geom_type: str,
+                      layer_name: str = "features", extent: int = 4096,
+                      extent_clamp: bool = False,
+                      n_partitions: int | None = None) -> DataFrame:
+    """Bulk non-point encode (VERDICT r4 task #1): same plan shape as
+    encode_point_tiles — ONE repartition on the tile key +
+    sortWithinPartitions + a streaming mapInPandas whose kernel
+    (encode_geom_tiles_bulk) vectorizes projection/winding/delta/varint
+    across every tile in the Arrow batch. Byte-identical to the scalar
+    encode_geojson_tiles path (same encode_layer bytes, pinned by
+    tests/test_encode_fast.py); rows whose props break the bulk contract
+    (non-uniform key sets, non-string values) fall back to the scalar
+    encoder per tile group inside the UDF.
+
+    This gives polygon-heavy workloads (building footprints, parcels —
+    billions of rows) the same cost model as the point firehose instead of
+    per-feature Python Cursor builders (reference equivalent:
+    write_geometry.go:108-378, one cost model for every type)."""
+    import os
+
+    from ..codec.encode import encode_layer
+    from ..codec.encode_fast import encode_geom_tiles_bulk, flatten_geom_rows
+
+    df = features.select("z", "x", "y", "feature_id", "coords", "props")
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = (df.repartition(n_partitions, "z", "x", "y")
+          .sortWithinPartitions("z", "x", "y", "feature_id"))
+
+    def normalize(coords):
+        # same shape mapping as the scalar encode_group (3-level input;
+        # MultiPolygon also accepts 4-level polygons-with-holes)
+        if geom_type == "LineString":
+            return [[float(v) for v in p] for p in coords[0]]
+        if geom_type == "MultiPolygon":
+            if _is_4level(coords):
+                return [[[ [float(v) for v in p] for p in ring]
+                         for ring in poly] for poly in coords]
+            return [[[[float(v) for v in p] for p in ring]]
+                    for ring in coords]
+        return [[list(map(float, p)) for p in ring] for ring in coords]
+
+    def scalar_tile(zs, xs, ys, fids, rows, props, s, e):
+        feats = [{"type": geom_type, "coordinates": rows[i],
+                  "properties": props[i], "id": int(fids[i])}
+                 for i in range(s, e)]
+        buf = encode_layer(feats, int(zs[s]), int(xs[s]), int(ys[s]),
+                           layer_name, extent=extent,
+                           extent_clamp=extent_clamp)
+        return (int(zs[s]), int(xs[s]), int(ys[s]), layer_name, buf, e - s)
+
+    def emit(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        zs = pdf["z"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        fids = pdf["feature_id"].to_numpy()
+        rows = [normalize(c) for c in pdf["coords"]]
+        props = [dict(p) if p is not None else {} for p in pdf["props"]]
+        keys0 = sorted(props[0]) if props else []
+        uniform = all(sorted(p) == keys0 for p in props) and all(
+            isinstance(v, str) for p in props for v in p.values())
+        out = []
+        if uniform:
+            prop_cols = {k: np.array([p[k] for p in props], dtype=object)
+                         for k in keys0}
+            verts, ring_lens, ring_feat, firsts = \
+                flatten_geom_rows(geom_type, rows)
+            bufs, _ = encode_geom_tiles_bulk(
+                zs, xs, ys, fids.astype(np.int64), prop_cols,
+                starts, ends, layer_name, geom_type, verts, ring_lens,
+                ring_feat, firsts, extent=extent, clamp=extent_clamp)
+            for t, (s, e) in enumerate(zip(starts, ends)):
+                out.append((int(zs[s]), int(xs[s]), int(ys[s]), layer_name,
+                            bufs[t], int(e - s)))
+        else:
+            for s, e in zip(starts, ends):
+                out.append(scalar_tile(zs, xs, ys, fids, rows, props, s, e))
+        return pd.DataFrame(out, columns=["z", "x", "y", "layer",
+                                          "tile_pbf", "n_features"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            change = np.zeros(len(pdf) - 1, dtype=bool)
+            for c in ("z", "x", "y"):
+                v = pdf[c].to_numpy()
+                change |= v[1:] != v[:-1]
+            boundaries = np.flatnonzero(change) + 1
+            starts = np.concatenate([[0], boundaries])
+            ends = np.concatenate([boundaries, [len(pdf)]])
+            if len(starts) > 1:
+                yield emit(pdf, starts[:-1], ends[:-1])
+            pending = pdf.iloc[starts[-1]:]
+        if pending is not None and len(pending):
+            yield emit(pending.reset_index(drop=True), [0], [len(pending)])
+
+    return df.mapInPandas(run, TILE_SCHEMA)
+
+
 def encode_geojson_tiles(features: DataFrame, geom_type: str,
                          layer_name: str = "features",
                          extent: int = 4096,
@@ -774,17 +892,23 @@ def encode_geojson_tiles(features: DataFrame, geom_type: str,
     per-feature Python is the right cost model here; the web-scale fact
     path stays on ``encode_point_tiles``."""
     import json
+    import os
+
+    from pyspark.sql.types import MapType, StringType
 
     from ..codec.encode import encode_layer
 
-    def _is_4level(coords) -> bool:
-        # [poly][ring][pt][xy] vs [ring][pt][xy]: probe the first leaf —
-        # a coordinate scalar has no __len__, a [x, y] pair does
-        try:
-            v = coords[0][0][0]
-        except (IndexError, KeyError, TypeError):
-            return False
-        return hasattr(v, "__len__")
+    # bulk fast path: line/polygon geometry with map<string,string> props
+    # rides the cross-tile vectorized kernel (byte-identical output);
+    # JSON-string/typed props and point shapes stay on the scalar path
+    ptype = features.schema["props"].dataType
+    if (geom_type in _BULK_GEOM_TYPES
+            and os.environ.get("SPARK_GRAFT_BULK_GEOM", "1") != "0"
+            and isinstance(ptype, MapType)
+            and isinstance(ptype.keyType, StringType)
+            and isinstance(ptype.valueType, StringType)):
+        return encode_geom_tiles(features, geom_type, layer_name, extent,
+                                 extent_clamp)
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("feature_id")
