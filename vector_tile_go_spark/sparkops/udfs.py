@@ -283,9 +283,39 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
         from .. import tilemath as tm
         from ..codec.decode import bulk_point_layer, decode_feature, parse_tile
         for pdf in batches:
+            # Two accumulators, merged IN ORDER at batch end: bulk point
+            # layers append whole numpy segments (no per-feature Python —
+            # the r4 VERDICT's remaining interpreter cost on full-feature
+            # decodes); the per-feature walk and error rows append scalars,
+            # flushed into a segment whenever a bulk segment arrives.
+            segs: list[dict] = []
             cz, cx, cy, clay, cid, cgt, cgj = [], [], [], [], [], [], []
             cpx, cpy, cext, cprops, cerr = [], [], [], [], []
             pcols = {c: [] for c in (prop_cols or ())}
+
+            def flush_scalar():
+                if not cz:
+                    return
+                seg = {"z": np.asarray(cz, np.int64),
+                       "x": np.asarray(cx, np.int64),
+                       "y": np.asarray(cy, np.int64),
+                       "layer": np.asarray(clay, object),
+                       "fid": np.asarray(cid, object),
+                       "gt": np.asarray(cgt, object),
+                       "gj": np.asarray(cgj, object),
+                       "px": np.asarray(cpx, np.float64),
+                       "py": np.asarray(cpy, np.float64),
+                       "ext": np.asarray(cext, np.int64),
+                       "err": np.asarray(cerr, object)}
+                if prop_cols is None:
+                    seg["props"] = np.asarray(cprops, object)
+                else:
+                    for c in prop_cols:
+                        seg[c] = np.asarray(pcols[c], object)
+                segs.append(seg)
+                for lst in (cz, cx, cy, clay, cid, cgt, cgj, cpx, cpy,
+                            cext, cprops, cerr, *pcols.values()):
+                    lst.clear()
 
             def emit_error(z, x, y, msg):
                 # corrupt-tile quarantine (SURVEY.md §4: the reference's
@@ -333,44 +363,50 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
                         if (n and bool((key_idx == key_idx[0]).all())
                                 and bool((key_idx[0] < len(lf.keys)).all())
                                 and bool((val_idx < len(lf.values)).all())):
-                            cz.extend([z] * n)
-                            cx.extend([x] * n)
-                            cy.extend([y] * n)
-                            clay.extend([lf.name] * n)
-                            cid.extend([i if i else None
-                                        for i in ids.tolist()])
-                            cgt.extend([1] * n)
-                            cgj.extend(["Point"] * n)
-                            cerr.extend([None] * n)
+                            flush_scalar()
+                            fid_obj = ids.astype(object)
+                            fid_obj[ids == 0] = None
+                            seg = {
+                                "z": np.full(n, z, np.int64),
+                                "x": np.full(n, x, np.int64),
+                                "y": np.full(n, y, np.int64),
+                                "layer": np.full(n, lf.name, object),
+                                "fid": fid_obj,
+                                "gt": np.full(n, 1, object),
+                                "gj": np.full(n, "Point", object),
+                                "err": np.full(n, None, object),
+                            }
                             if want_geom:
-                                cpx.extend(px.tolist())
-                                cpy.extend(py.tolist())
-                                cext.extend([lf.extent] * n)
+                                seg["px"] = px.astype(np.float64)
+                                seg["py"] = py.astype(np.float64)
+                                seg["ext"] = np.full(n, lf.extent, np.int64)
                             else:
                                 # match the per-feature walk: props mode
                                 # never exposes coords (lng/lat = NaN)
-                                cpx.extend([np.nan] * n)
-                                cpy.extend([np.nan] * n)
-                                cext.extend([4096] * n)
-                            vals_arr = np.asarray(lf.values, dtype=object)
+                                seg["px"] = np.full(n, np.nan)
+                                seg["py"] = np.full(n, np.nan)
+                                seg["ext"] = np.full(n, 4096, np.int64)
+                            # str() once per DICTIONARY entry, then gather —
+                            # O(distinct values), not O(features x props)
+                            vals_str = np.array([str(v) for v in lf.values],
+                                                dtype=object)
                             names0 = [lf.keys[k] if k < len(lf.keys) else ""
                                       for k in key_idx[0].tolist()]
                             if prop_cols is None:
-                                colvals = [vals_arr[val_idx[:, j]]
+                                colvals = [vals_str[val_idx[:, j]]
                                            for j in range(n_props)]
-                                for r in range(n):
-                                    cprops.append(
-                                        {names0[j]: str(colvals[j][r])
-                                         for j in range(n_props)})
+                                seg["props"] = np.array(
+                                    [{names0[j]: colvals[j][r]
+                                      for j in range(n_props)}
+                                     for r in range(n)], dtype=object)
                             else:
                                 for c in prop_cols:
                                     if c in names0:
                                         j = names0.index(c)
-                                        col = vals_arr[val_idx[:, j]]
-                                        pcols[c].extend(
-                                            str(v) for v in col.tolist())
+                                        seg[c] = vals_str[val_idx[:, j]]
                                     else:
-                                        pcols[c].extend([None] * n)
+                                        seg[c] = np.full(n, None, object)
+                            segs.append(seg)
                             continue
                     for span in lf.feature_spans:
                         try:
@@ -405,28 +441,32 @@ def decode_tiles(tiles: DataFrame, mode: str = "lnglat",
                             for c in prop_cols:
                                 v = p.get(c)
                                 pcols[c].append(None if v is None else str(v))
-            if not cz:
+            flush_scalar()
+            if not segs:
                 continue  # empty batch: yielding nothing beats fighting
                 # pandas' float64 default dtype for empty object columns
-            if mode == "lnglat" and cz:
+            col = {k: np.concatenate([s[k] for s in segs])
+                   for k in segs[0]}
+            if mode == "lnglat":
                 lngs, lats = tm.project_tile_to_lnglat(
-                    np.asarray(cpx), np.asarray(cpy),
-                    np.asarray(cz), np.asarray(cx, dtype=np.float64),
-                    np.asarray(cy, dtype=np.float64), np.asarray(cext))
+                    col["px"], col["py"], col["z"],
+                    col["x"].astype(np.float64),
+                    col["y"].astype(np.float64), col["ext"])
             else:
-                lngs, lats = np.asarray(cpx), np.asarray(cpy)
-            data = {"z": pd.Series(cz, dtype="int32"),
-                    "x": pd.Series(cx, dtype="int64"),
-                    "y": pd.Series(cy, dtype="int64"),
-                    "layer": clay, "feature_id": cid, "geom_type": cgt,
-                    "geojson_type": cgj, "lng": lngs, "lat": lats}
+                lngs, lats = col["px"], col["py"]
+            data = {"z": pd.Series(col["z"], dtype="int32"),
+                    "x": pd.Series(col["x"], dtype="int64"),
+                    "y": pd.Series(col["y"], dtype="int64"),
+                    "layer": col["layer"], "feature_id": col["fid"],
+                    "geom_type": col["gt"],
+                    "geojson_type": col["gj"], "lng": lngs, "lat": lats}
             if prop_cols is None:
-                data["properties"] = cprops
+                data["properties"] = col["props"]
             else:
                 for c in prop_cols:
-                    data[c] = pcols[c]
+                    data[c] = col[c]
             if quarantine:
-                data["error"] = cerr
+                data["error"] = col["err"]
             yield pd.DataFrame(data)
 
     if prop_cols is None:
