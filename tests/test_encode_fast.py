@@ -191,3 +191,57 @@ def test_geom_bulk_clamped_and_noprops():
                                    {(z, x, y): [{}]}, {(z, x, y): [3]},
                                    extent_clamp=True)
     assert scalar[0] == bulk[0]
+
+
+def test_geom_bulk_fuzz_byte_identity():
+    """Randomized byte-identity: random geometries (tiny sub-quantum
+    segments, out-of-tile coords, mixed winding, open/closed rings,
+    wraparound ids) must encode identically on the scalar and bulk paths."""
+    import numpy as np
+
+    import vector_tile_go_spark.tilemath as tm
+    rng = np.random.default_rng(42)
+    z = 6
+    for trial in range(6):
+        gt = ["LineString", "MultiLineString", "Polygon",
+              "MultiPolygon"][trial % 4]
+        x = int(rng.integers(0, 2**z))
+        y = int(rng.integers(0, 2**z))
+        w, s, e, n = tm.tile_bounds(z, x, y)
+
+        def rpt():
+            fx, fy = rng.uniform(-0.3, 1.3, 2)   # some outside the tile
+            return [w + fx * (e - w), s + fy * (n - s)]
+
+        def ring(min_pts=3):
+            k = int(rng.integers(min_pts, 8))
+            r = [rpt() for _ in range(k)]
+            if rng.random() < 0.3:
+                r.append(list(r[0]))             # pre-closed
+            if rng.random() < 0.3:               # sub-quantum duplicate
+                r.insert(1, [r[0][0] + 1e-12, r[0][1]])
+            return r
+
+        rows = []
+        for _ in range(12):
+            if gt == "LineString":
+                c = ring(2)
+                if rng.random() < 0.25:          # degenerate -> abort
+                    p = rpt()
+                    c = [p, [p[0] + 1e-12, p[1]]]
+                rows.append(c)
+            elif gt == "MultiLineString":
+                rows.append([ring(2) for _ in range(int(rng.integers(1, 4)))])
+            elif gt == "Polygon":
+                rows.append([ring() for _ in range(int(rng.integers(1, 3)))])
+            else:
+                rows.append([[ring() for _ in range(int(rng.integers(1, 3)))]
+                             for _ in range(int(rng.integers(1, 3)))])
+        ids = [int(rng.integers(-2, 2**40)) for _ in rows]
+        props = [{"a": str(int(rng.integers(0, 5))),
+                  "b": f"v{int(rng.integers(0, 3))}"} for _ in rows]
+        rows_by_tile = {(z, x, y): rows}
+        scalar, bulk = _bulk_vs_scalar(
+            gt, rows_by_tile, {(z, x, y): props}, {(z, x, y): ids},
+            extent_clamp=bool(trial % 2))
+        assert scalar[0] == bulk[0], f"{gt} trial {trial} diverges"

@@ -128,3 +128,48 @@ def test_decode_quarantine_corrupt_tiles(spark):
     bad = out[out["error"].notna()]
     assert len(ok) == 1 and ok.iloc[0]["feature_id"] == 7
     assert len(bad) == 1 and bad.iloc[0]["x"] == 1
+
+
+def test_bulk_geom_stream_multi_tile_batches(spark):
+    """Regression (round 5): the bulk stream's mid-batch emit must trim
+    trailing pending rows — with few partitions a single Arrow batch
+    carries MANY tiles plus a partial tail, which crashed the kernel's
+    exact-coverage assumption before the fix."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import vector_tile_go_spark.tilemath as tm
+    from vector_tile_go_spark.codec.encode import encode_layer
+    from vector_tile_go_spark.sparkops.udfs import encode_geom_tiles
+    z = 6
+    rows = []
+    for t in range(12):           # 12 tiles, 3 triangles each
+        x, y = 10 + t, 20
+        w, s, e, n = map(float, tm.tile_bounds(z, x, y))
+        for i in range(3):
+            tri = [[w + (0.1 + 0.05 * i) * (e - w), s + 0.1 * (n - s)],
+                   [w + 0.6 * (e - w), s + (0.2 + 0.1 * i) * (n - s)],
+                   [w + 0.3 * (e - w), s + 0.8 * (n - s)]]
+            rows.append((z, x, y, i + 1, [tri], {"nk": str(i)}))
+    df = spark.createDataFrame(
+        rows, "z int, x long, y long, feature_id long, "
+              "coords array<array<array<double>>>, "
+              "props map<string,string>")
+    out = {(r["x"]): r for r in
+           encode_geom_tiles(df, "Polygon", layer_name="g",
+                             n_partitions=2).collect()}
+    assert len(out) == 12
+    for t in range(12):
+        x, y = 10 + t, 20
+        w, s, e, n = tm.tile_bounds(z, x, y)
+        feats = [{"type": "Polygon",
+                  "coordinates": [[[w + (0.1 + 0.05 * i) * (e - w),
+                                    s + 0.1 * (n - s)],
+                                   [w + 0.6 * (e - w),
+                                    s + (0.2 + 0.1 * i) * (n - s)],
+                                   [w + 0.3 * (e - w), s + 0.8 * (n - s)]]],
+                  "properties": {"nk": str(i)}, "id": i + 1}
+                 for i in range(3)]
+        want = encode_layer(feats, z, x, y, "g", extent_clamp=False)
+        assert bytes(out[x]["tile_pbf"]) == want
+        assert out[x]["n_features"] == 3

@@ -861,6 +861,10 @@ def encode_geom_tiles(features: DataFrame, geom_type: str,
         return (int(zs[s]), int(xs[s]), int(ys[s]), layer_name, buf, e - s)
 
     def emit(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        # trim trailing rows beyond the last complete tile (they stay in
+        # the caller's pending buffer): the kernel requires the feature
+        # arrays to be EXACTLY covered by the tile slices
+        pdf = pdf.iloc[:int(ends[-1])]
         zs = pdf["z"].to_numpy()
         xs = pdf["x"].to_numpy()
         ys = pdf["y"].to_numpy()
