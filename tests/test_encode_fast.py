@@ -245,3 +245,37 @@ def test_geom_bulk_fuzz_byte_identity():
             gt, rows_by_tile, {(z, x, y): props}, {(z, x, y): ids},
             extent_clamp=bool(trial % 2))
         assert scalar[0] == bulk[0], f"{gt} trial {trial} diverges"
+
+
+def test_geom_bulk_degenerate_inputs_raise_like_scalar():
+    """Round-5 review: empty rings / zero-ring polygons must RAISE on the
+    bulk path (the scalar builders raise too), never silently encode."""
+    import numpy as np
+    import pytest
+
+    from vector_tile_go_spark.codec.encode_fast import (
+        encode_geom_tiles_bulk, flatten_geom_rows)
+    with pytest.raises(ValueError, match="empty Polygon"):
+        flatten_geom_rows("Polygon", [[]])
+    with pytest.raises(ValueError, match="empty polygon in MultiPolygon"):
+        flatten_geom_rows("MultiPolygon", [[[], [[[0.0, 0.0], [1.0, 0.0],
+                                                  [0.5, 1.0]]]]])
+    with pytest.raises(ValueError, match="empty ring"):
+        flatten_geom_rows("MultiLineString", [[[]]])
+    with pytest.raises(ValueError, match="empty ring"):
+        encode_geom_tiles_bulk(
+            np.array([5]), np.array([9]), np.array([11]), np.array([1]),
+            {}, [0], [1], "g", "Polygon", np.zeros((3, 2)),
+            np.array([3, 0]), np.array([0, 0]), np.array([True, False]))
+
+
+def test_is_4level_skips_empty_prefix():
+    """Round-5 review: a 4-level MultiPolygon whose FIRST polygon or ring
+    is empty must still route to the 4-level branch."""
+    from vector_tile_go_spark.sparkops.udfs import _is_4level
+    tri = [[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]]
+    assert _is_4level([[tri]])
+    assert _is_4level([[], [[*tri]]])          # empty first polygon
+    assert not _is_4level([tri])               # 3-level
+    assert not _is_4level([[], tri])           # 3-level, empty first ring
+    assert not _is_4level([])

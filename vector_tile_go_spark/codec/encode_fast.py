@@ -347,6 +347,10 @@ def encode_geom_tiles_bulk(z, x_arr, y_arr, ids, prop_cols,
     ring_feat = np.asarray(ring_feat, np.int64)
     nrings = len(ring_lens)
     verts = np.asarray(verts, np.float64).reshape(-1, 2)
+    if nrings and bool((ring_lens <= 0).any()):
+        # empty rings would read foreign vertices in the closure check
+        # (verts[rs0 - 1]); the scalar builders raise on them too
+        raise ValueError("empty ring (ring_lens must be >= 1)")
 
     # --- close unclosed polygon rings in FLOAT space (TrimPolygonFloat)
     if is_poly and nrings:
@@ -549,16 +553,34 @@ def flatten_geom_rows(geom_type: str, rows):
         elif geom_type in ("MultiLineString", "Polygon"):
             rings = list(c)
             firsts = [True] * len(rings) if geom_type == "MultiLineString" \
-                else [True] + [False] * (len(rings) - 1)
+                else ([True] + [False] * (len(rings) - 1) if rings else [])
+            if geom_type == "Polygon" and not rings:
+                # the scalar make_polygon raises on zero rings
+                # (closed[0] IndexError) — match, don't silently encode
+                raise ValueError(f"feature {fi}: empty Polygon coordinates")
         elif geom_type == "MultiPolygon":
             rings, firsts = [], []
             for poly in c:
+                if not len(poly):
+                    raise ValueError(
+                        f"feature {fi}: empty polygon in MultiPolygon")
                 rings.extend(poly)
                 firsts.extend([True] + [False] * (len(poly) - 1))
         else:
             raise ValueError(f"unsupported geom_type {geom_type!r}")
         for r in rings:
-            a = np.asarray(r, dtype=np.float64).reshape(-1, 2)
+            try:
+                a = np.asarray(r, dtype=np.float64).reshape(-1, 2)
+            except (ValueError, TypeError):
+                # Arrow hands nested arrays as object ndarrays of
+                # per-point ndarrays, which asarray refuses to coerce;
+                # stack handles them without per-point Python
+                a = np.stack(list(r)).astype(
+                    np.float64, copy=False).reshape(-1, 2)
+            if not len(a):
+                # the scalar builders raise on empty rings/lines
+                # (pts[0] IndexError) — match rather than diverge
+                raise ValueError(f"feature {fi}: empty ring")
             verts_parts.append(a)
             ring_lens.append(len(a))
             ring_feat.append(fi)

@@ -1410,15 +1410,19 @@ FROM documents""",
             "      (m.lng - q.qlng) * (m.lng - q.qlng), m.doc_id, m.j) AS rank "
             "  FROM qpts q CROSS JOIN mentions m) WHERE rank <= 5",
             extra_cte=",\n" + polygons.sql_query_points_cte()),
+        # ranks by the raw haversine value with the ENGINE's exact float op
+        # order (sin*sin products, no asin/sqrt/squaring) so the only
+        # cross-engine divergence surface is libm-vs-JVM trig ULPs
         "knn_haversine": _mentions_oracle(
             "SELECT qid, rank, doc_id, j FROM ("
             "  SELECT q.qid, m.doc_id, m.j, "
             "    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY "
-            "      2 * 6371.0088 * ASIN(SQRT(LEAST(1.0, "
-            "        POWER(SIN((RADIANS(m.lat) - RADIANS(q.qlat)) / 2), 2) + "
-            "        COS(RADIANS(q.qlat)) * COS(RADIANS(m.lat)) * "
-            "        POWER(SIN((RADIANS(m.lng) - RADIANS(q.qlng)) / 2), 2)"
-            "      ))), m.doc_id, m.j) AS rank "
+            "      SIN((RADIANS(m.lat) - RADIANS(q.qlat)) / 2.0) * "
+            "      SIN((RADIANS(m.lat) - RADIANS(q.qlat)) / 2.0) + "
+            "      COS(RADIANS(q.qlat)) * COS(RADIANS(m.lat)) * "
+            "      SIN((RADIANS(m.lng) - RADIANS(q.qlng)) / 2.0) * "
+            "      SIN((RADIANS(m.lng) - RADIANS(q.qlng)) / 2.0), "
+            "      m.doc_id, m.j) AS rank "
             "  FROM qpts q CROSS JOIN mentions m) WHERE rank <= 5",
             extra_cte=",\n" + polygons.sql_query_points_cte()),
         "hex_rollup": _hex_rollup_oracle(),

@@ -730,45 +730,26 @@ def encode_geobuf_tiles(entities: DataFrame,
     df = (df.repartition(n_partitions, "z", "x", "y")
           .sortWithinPartitions("z", "x", "y", id_col, *prop_cols))
 
+    def emit(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        zs, xs, ys = (pdf[c].to_numpy() for c in ("z", "x", "y"))
+        lng, lat = pdf["lng"].to_numpy(), pdf["lat"].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        pvals = {c: pdf[c].astype(str).to_numpy() for c in prop_cols}
+        out = []
+        for s, e in zip(starts, ends):
+            blob = bytearray()
+            for i in range(s, e):
+                m = encode_geobuf_feature(
+                    "Point", [float(lng[i]), float(lat[i])],
+                    {c: pvals[c][i] for c in prop_cols}, int(ids[i]))
+                blob += encode_varint(len(m)) + m
+            out.append((int(zs[s]), int(xs[s]), int(ys[s]),
+                        bytes(blob), e - s))
+        return pd.DataFrame(out, columns=["z", "x", "y", "geobuf",
+                                          "n_features"])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: pd.DataFrame | None = None
-
-        def emit(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
-            zs, xs, ys = (pdf[c].to_numpy() for c in ("z", "x", "y"))
-            lng, lat = pdf["lng"].to_numpy(), pdf["lat"].to_numpy()
-            ids = pdf[id_col].to_numpy()
-            pvals = {c: pdf[c].astype(str).to_numpy() for c in prop_cols}
-            out = []
-            for s, e in zip(starts, ends):
-                blob = bytearray()
-                for i in range(s, e):
-                    m = encode_geobuf_feature(
-                        "Point", [float(lng[i]), float(lat[i])],
-                        {c: pvals[c][i] for c in prop_cols}, int(ids[i]))
-                    blob += encode_varint(len(m)) + m
-                out.append((int(zs[s]), int(xs[s]), int(ys[s]),
-                            bytes(blob), e - s))
-            return pd.DataFrame(out, columns=["z", "x", "y", "geobuf",
-                                              "n_features"])
-
-        for pdf in batches:
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-                pending = None
-            if not len(pdf):
-                continue
-            change = np.zeros(len(pdf) - 1, dtype=bool)
-            for c in ("z", "x", "y"):
-                v = pdf[c].to_numpy()
-                change |= v[1:] != v[:-1]
-            boundaries = np.flatnonzero(change) + 1
-            starts = np.concatenate([[0], boundaries])
-            ends = np.concatenate([boundaries, [len(pdf)]])
-            if len(starts) > 1:
-                yield emit(pdf, starts[:-1], ends[:-1])
-            pending = pdf.iloc[starts[-1]:]
-        if pending is not None and len(pending):
-            yield emit(pending.reset_index(drop=True), [0], [len(pending)])
+        return _stream_sorted_tile_groups(batches, emit)
 
     return df.mapInPandas(
         run, "z int, x bigint, y bigint, geobuf binary, n_features int")
@@ -799,14 +780,50 @@ _BULK_GEOM_TYPES = ("LineString", "MultiLineString", "Polygon",
                     "MultiPolygon")
 
 
+def _stream_sorted_tile_groups(batches, emit, group_cols=("z", "x", "y")):
+    """Shared sorted-batch carry protocol for pandas tile-group streams:
+    concat the carried tail, find group boundaries, hand emit() ONLY the
+    rows of complete groups (trimmed to the last boundary), carry the
+    final (possibly incomplete) group into the next batch. Factored out
+    of the geobuf and geometry encoders so the trim invariant — emit's
+    input is EXACTLY covered by its slices — cannot diverge between
+    copies again (round-5 review)."""
+    pending = None
+    for pdf in batches:
+        if pending is not None:
+            pdf = pd.concat([pending, pdf], ignore_index=True)
+            pending = None
+        if not len(pdf):
+            continue
+        change = np.zeros(len(pdf) - 1, dtype=bool)
+        for c in group_cols:
+            v = pdf[c].to_numpy()
+            change |= v[1:] != v[:-1]
+        boundaries = np.flatnonzero(change) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(pdf)]])
+        if len(starts) > 1:
+            yield emit(pdf.iloc[:int(ends[-2])], starts[:-1], ends[:-1])
+        pending = pdf.iloc[starts[-1]:]
+    if pending is not None and len(pending):
+        yield emit(pending.reset_index(drop=True),
+                   np.array([0]), np.array([len(pending)]))
+
+
 def _is_4level(coords) -> bool:
-    # [poly][ring][pt][xy] vs [ring][pt][xy]: probe the first leaf —
-    # a coordinate scalar has no __len__, a [x, y] pair does
-    try:
-        v = coords[0][0][0]
-    except (IndexError, KeyError, TypeError):
-        return False
-    return hasattr(v, "__len__")
+    # [poly][ring][pt][xy] vs [ring][pt][xy]: probe the FIRST NON-EMPTY
+    # leaf chain (an empty first polygon/ring must not misroute the row,
+    # ADVICE-style review r5) — a coordinate scalar has no __len__, a
+    # [x, y] pair does
+    for a in coords:
+        if not hasattr(a, "__len__"):
+            return False
+        for b in a:
+            if not hasattr(b, "__len__"):
+                return False
+            for c in b:
+                return hasattr(c, "__len__")
+    return False
 
 
 def encode_geom_tiles(features: DataFrame, geom_type: str,
@@ -827,8 +844,6 @@ def encode_geom_tiles(features: DataFrame, geom_type: str,
     billions of rows) the same cost model as the point firehose instead of
     per-feature Python Cursor builders (reference equivalent:
     write_geometry.go:108-378, one cost model for every type)."""
-    import os
-
     from ..codec.encode import encode_layer
     from ..codec.encode_fast import encode_geom_tiles_bulk, flatten_geom_rows
 
@@ -839,17 +854,18 @@ def encode_geom_tiles(features: DataFrame, geom_type: str,
           .sortWithinPartitions("z", "x", "y", "feature_id"))
 
     def normalize(coords):
-        # same shape mapping as the scalar encode_group (3-level input;
-        # MultiPolygon also accepts 4-level polygons-with-holes)
+        # STRUCTURAL reshape only (same shape mapping as the scalar
+        # encode_group; MultiPolygon also accepts 4-level polygons with
+        # holes) — no per-vertex float() casts: both flatten_geom_rows
+        # (np.asarray per ring) and encode_layer's builders coerce
+        # element types themselves, so element-wise Python conversion
+        # here would reintroduce the O(vertices) interpreter cost the
+        # bulk kernel exists to remove
         if geom_type == "LineString":
-            return [[float(v) for v in p] for p in coords[0]]
-        if geom_type == "MultiPolygon":
-            if _is_4level(coords):
-                return [[[ [float(v) for v in p] for p in ring]
-                         for ring in poly] for poly in coords]
-            return [[[[float(v) for v in p] for p in ring]]
-                    for ring in coords]
-        return [[list(map(float, p)) for p in ring] for ring in coords]
+            return coords[0]
+        if geom_type == "MultiPolygon" and not _is_4level(coords):
+            return [[ring] for ring in coords]
+        return coords
 
     def scalar_tile(zs, xs, ys, fids, rows, props, s, e):
         feats = [{"type": geom_type, "coordinates": rows[i],
@@ -861,10 +877,6 @@ def encode_geom_tiles(features: DataFrame, geom_type: str,
         return (int(zs[s]), int(xs[s]), int(ys[s]), layer_name, buf, e - s)
 
     def emit(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
-        # trim trailing rows beyond the last complete tile (they stay in
-        # the caller's pending buffer): the kernel requires the feature
-        # arrays to be EXACTLY covered by the tile slices
-        pdf = pdf.iloc[:int(ends[-1])]
         zs = pdf["z"].to_numpy()
         xs = pdf["x"].to_numpy()
         ys = pdf["y"].to_numpy()
@@ -894,25 +906,7 @@ def encode_geom_tiles(features: DataFrame, geom_type: str,
                                           "tile_pbf", "n_features"])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending = None
-        for pdf in batches:
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-                pending = None
-            if not len(pdf):
-                continue
-            change = np.zeros(len(pdf) - 1, dtype=bool)
-            for c in ("z", "x", "y"):
-                v = pdf[c].to_numpy()
-                change |= v[1:] != v[:-1]
-            boundaries = np.flatnonzero(change) + 1
-            starts = np.concatenate([[0], boundaries])
-            ends = np.concatenate([boundaries, [len(pdf)]])
-            if len(starts) > 1:
-                yield emit(pdf, starts[:-1], ends[:-1])
-            pending = pdf.iloc[starts[-1]:]
-        if pending is not None and len(pending):
-            yield emit(pending.reset_index(drop=True), [0], [len(pending)])
+        return _stream_sorted_tile_groups(batches, emit)
 
     return df.mapInPandas(run, TILE_SCHEMA)
 

@@ -12,7 +12,7 @@ The guarantee makes the result *exact* (identical to brute force), which is
 what the DuckDB oracle checks; the ring plan just avoids the cross join.
 Metric: squared euclidean in degrees (documented engine metric — keeps the
 oracle bit-exact), or great-circle haversine (``metric='haversine'``,
-dist2 in km^2) with an antimeridian-aware conservative margin.
+dist2 = raw hav(theta), monotone) with an antimeridian-aware margin.
 
 Determinism: ties broken by (dist2, doc_id, mention_idx) ordering.
 """
@@ -35,16 +35,18 @@ def _euclid_deg2() -> Column:
             (F.col("lng") - F.col("qlng")) * (F.col("lng") - F.col("qlng")))
 
 
-def _haversine_km2() -> Column:
-    """Squared great-circle distance in km (squared so sqrt(kth) stays the
-    loop's units contract, matching the euclid metric)."""
+def _haversine_hav() -> Column:
+    """Raw haversine value h = hav(theta) = sin^2(theta/2) — MONOTONE in
+    great-circle distance on [0, pi], so ranking by h equals ranking by
+    distance with the smallest possible transcendental surface (no
+    asin/sqrt/scaling/squaring whose extra roundings could diverge from
+    the DuckDB oracle's libm; the SQL twin mirrors this op order exactly).
+    sqrt(h) = sin(theta/2), so margins compare in sin-half-angle space."""
     qphi, phi = F.radians(F.col("qlat")), F.radians(F.col("lat"))
     dphi, dlmb = (phi - qphi) / 2.0, (F.radians(F.col("lng"))
                                       - F.radians(F.col("qlng"))) / 2.0
-    h = (F.sin(dphi) * F.sin(dphi)
-         + F.cos(qphi) * F.cos(phi) * F.sin(dlmb) * F.sin(dlmb))
-    d = 2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
-    return d * d
+    return (F.sin(dphi) * F.sin(dphi)
+            + F.cos(qphi) * F.cos(phi) * F.sin(dlmb) * F.sin(dlmb))
 
 
 def escalating_knn(q: DataFrame, p: DataFrame, k: int, qkey: str,
@@ -132,8 +134,9 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
     (fewer only if the whole table has < k points).
 
     ``metric``: 'euclid' (squared degrees — the bit-exact oracle metric) or
-    'haversine' (great-circle; dist2 in km^2). Both are EXACT: the
-    haversine margin lower-bounds the covered great-circle radius of the
+    'haversine' (great-circle; dist2 = the raw haversine value
+    hav(theta) = sin^2(theta/2), monotone in distance). Both are EXACT:
+    the haversine margin lower-bounds sin(covered angle / 2) of the
     searched cell box (including the antimeridian short way), so a query
     only settles when no unsearched point can beat its kth neighbor."""
     if metric not in ("euclid", "haversine"):
@@ -172,41 +175,45 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
         )
 
     def margin_hav(rad):
-        # Conservative covered great-circle radius (km) of the searched
-        # box. Lat edges: central angle >= delta-lat always, so the
-        # meridian arc to the band edge lower-bounds any point beyond it.
+        # Conservative covered great-circle radius of the searched box,
+        # expressed as sin(angle/2) — the sqrt of the hav ranking value.
+        # Lat edges: central angle >= delta-lat always, so the meridian
+        # arc to the band edge lower-bounds any point beyond it.
         # Lng edges: for a point inside the lat band beyond the edge,
-        # hav(theta) >= cos(qlat) * min-band-cos * hav(dlng), and the
-        # effective dlng takes the SHORT WAY round the antimeridian
-        # (min(edge gap, wrap gap to the region's far end at +-180)), so
-        # seam-adjacent neighbors can never be wrongly excluded. cos is
-        # unimodal in lat, so the band minimum is at an endpoint.
+        # hav(theta) >= cos(qlat) * min-band-cos * hav(dlng), i.e.
+        # sin(theta/2) >= sqrt(cos*cmin) * sin(dlng/2) directly — no asin
+        # needed in this space. The effective dlng takes the SHORT WAY
+        # round the antimeridian (min(edge gap, wrap gap to the region's
+        # far end at +-180)), so seam-adjacent neighbors can never be
+        # wrongly excluded. cos is unimodal in lat, so the band minimum
+        # is at an endpoint. Covered sides use 2.0 (> any sin) as the
+        # infinite margin.
         gxl, gxr, gyl, gyr = _box(rad)
         qphi = F.radians(F.col("qlat"))
         cmin = F.least(
             F.cos(F.radians(F.greatest(gyl, F.lit(-90.0)))),
             F.cos(F.radians(F.least(gyr, F.lit(90.0)))))
 
-        def lng_edge_km(dlng_deg):
+        def lng_edge_sin(dlng_deg):
             half = F.radians(dlng_deg) / 2.0
-            s = (F.sqrt(F.greatest(F.cos(qphi) * cmin, F.lit(0.0)))
-                 * F.sin(F.least(half, F.lit(math.pi / 2.0))))
-            return (2.0 * EARTH_RADIUS_KM
-                    * F.asin(F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0))))
+            return (F.sqrt(F.greatest(F.cos(qphi) * cmin, F.lit(0.0)))
+                    * F.sin(F.least(half, F.lit(math.pi / 2.0))))
+
+        def lat_edge_sin(dlat_deg):
+            return F.sin(F.least(F.radians(dlat_deg) / 2.0,
+                                 F.lit(math.pi / 2.0)))
 
         d_w = F.least(F.col("qlng") - gxl, (180.0 - F.col("qlng")))
         d_e = F.least(gxr - F.col("qlng"), (F.col("qlng") + 180.0))
         return F.least(
-            F.when((F.col("gx") - rad) <= 0, F.lit(1e9))
-            .otherwise(lng_edge_km(d_w)),
-            F.when((F.col("gx") + rad) >= cells.GRID_NX - 1, F.lit(1e9))
-            .otherwise(lng_edge_km(d_e)),
-            F.when((F.col("gy") - rad) <= 0, F.lit(1e9))
-            .otherwise(EARTH_RADIUS_KM
-                       * F.radians(F.col("qlat") - gyl)),
-            F.when((F.col("gy") + rad) >= cells.GRID_NY - 1, F.lit(1e9))
-            .otherwise(EARTH_RADIUS_KM
-                       * F.radians(gyr - F.col("qlat"))),
+            F.when((F.col("gx") - rad) <= 0, F.lit(2.0))
+            .otherwise(lng_edge_sin(d_w)),
+            F.when((F.col("gx") + rad) >= cells.GRID_NX - 1, F.lit(2.0))
+            .otherwise(lng_edge_sin(d_e)),
+            F.when((F.col("gy") - rad) <= 0, F.lit(2.0))
+            .otherwise(lat_edge_sin(F.col("qlat") - gyl)),
+            F.when((F.col("gy") + rad) >= cells.GRID_NY - 1, F.lit(2.0))
+            .otherwise(lat_edge_sin(gyr - F.col("qlat"))),
         )
 
     hav = metric == "haversine"
@@ -214,14 +221,14 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
         q, p, k, qkey, expand,
         lambda e, pp: (e.rx == pp.pgx) & (e.ry == pp.pgy),
         ("pgx", "pgy"), margin_hav if hav else margin, max_rounds,
-        dist2_expr=_haversine_km2() if hav else None)
+        dist2_expr=_haversine_hav() if hav else None)
 
 
 def knn_bruteforce(queries: DataFrame, points: DataFrame, k: int = 5,
                    qkey: str = "qid", metric: str = "euclid") -> DataFrame:
     """Reference implementation (cross join + window) — the oracle twin and
     the baseline the ring plan must beat at scale."""
-    dist2 = _haversine_km2() if metric == "haversine" else _euclid_deg2()
+    dist2 = _haversine_hav() if metric == "haversine" else _euclid_deg2()
     w = Window.partitionBy(qkey).orderBy("dist2", "doc_id", "mention_idx")
     return (queries.select(qkey, "qlat", "qlng")
             .crossJoin(points.select("lat", "lng", "doc_id", "mention_idx"))
