@@ -324,3 +324,21 @@ def test_knn_haversine_antimeridian_seam(spark):
     brute = knn_bruteforce(q, p, k=2, metric="haversine") \
         .orderBy("rank").collect()
     assert [tuple(r) for r in ring] == [tuple(r) for r in brute]
+
+
+def test_hex_knn_haversine_matches_bruteforce(spark, sf_dir):
+    """hex_knn_join(metric='haversine') equals the haversine brute force —
+    the box-inscribed-in-covered-disk margin is exact."""
+    from vector_tile_go_spark.spatial.hexgrid import hex_knn_join
+    from vector_tile_go_spark.spatial.knn import knn_bruteforce
+    from vector_tile_go_spark.spatial.polygons import query_points
+    from vector_tile_go_spark.text.pages import (build_pages,
+                                                 extract_geo_entities)
+    e = extract_geo_entities(build_pages(spark, sf_dir)) \
+        .select("lat", "lng", "doc_id", "mention_idx")
+    q = query_points(spark, sf_dir)
+    hexed = hex_knn_join(q, e, k=5, metric="haversine") \
+        .orderBy("qid", "rank").collect()
+    brute = knn_bruteforce(q, e, k=5, metric="haversine") \
+        .orderBy("qid", "rank").collect()
+    assert [tuple(r) for r in hexed] == [tuple(r) for r in brute]

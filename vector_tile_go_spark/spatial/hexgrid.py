@@ -135,7 +135,7 @@ def sql_hex_cell(lat_expr: str = "lat", lng_expr: str = "lng",
 
 def hex_knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
                  qkey: str = "qid", size: float = DEFAULT_SIZE,
-                 max_rounds: int = 6) -> DataFrame:
+                 max_rounds: int = 6, metric: str = "euclid") -> DataFrame:
     """Exact kNN on the hex index — the shared escalation loop of
     spatial/knn.py (escalating_knn) re-based on hex disks. Exactness
     guarantee: cell centers at hex distance d are >= 1.5*s*d apart (tight
@@ -143,9 +143,17 @@ def hex_knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
     unsearched point after a radius-``rad`` disk lies at euclidean
     distance >= 1.5*s*(rad+1) - 2*s; a query is settled iff its kth
     candidate distance is within that margin. Same output contract as
-    knn_join."""
-    from .knn import escalating_knn
+    knn_join.
 
+    ``metric='haversine'`` ranks by the raw haversine value (see
+    knn._haversine_hav): the covered degree-disk of radius r contains the
+    axis-aligned box of half-width r/sqrt(2), so any unsearched point is
+    outside that box and knn.hav_box_margin lower-bounds its great-circle
+    distance (antimeridian short way and poles included) — still exact."""
+    from .knn import _haversine_hav, escalating_knn, hav_box_margin
+
+    if metric not in ("euclid", "haversine"):
+        raise ValueError(f"unknown metric {metric!r}")
     qq, qr = hex_cell_cols(F.col("qlat"), F.col("qlng"), size)
     q = (queries.select(qkey, "qlat", "qlng")
          .withColumn("hq", qq).withColumn("hr", qr))
@@ -153,10 +161,23 @@ def hex_knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
     p = (points.select("lat", "lng", "doc_id", "mention_idx")
          .withColumn("phq", pq).withColumn("phr", pr)).cache()
 
+    def margin_hav(rad):
+        r_deg = 1.5 * size * (rad + 1) - 2.0 * size
+        if r_deg <= 0:
+            return F.lit(-1.0)  # nothing provably covered yet
+        h = r_deg / math.sqrt(2.0)
+        qlat, qlng = F.col("qlat"), F.col("qlng")
+        return hav_box_margin(
+            qlat, qlng, qlng - h, qlng + h, qlat - h, qlat + h,
+            west_cov=(qlng - h) <= -180.0, east_cov=(qlng + h) >= 180.0,
+            south_cov=(qlat - h) <= -90.0, north_cov=(qlat + h) >= 90.0)
+
+    hav = metric == "haversine"
     return escalating_knn(
         q, p, k, qkey,
         lambda pending, rad: hex_disk(pending, "hq", "hr", rad),
         lambda e, pp: (e.nq == pp.phq) & (e.nr == pp.phr),
         ("phq", "phr"),
-        lambda rad: F.lit(1.5 * size * (rad + 1) - 2.0 * size),
-        max_rounds)
+        margin_hav if hav else
+        (lambda rad: F.lit(1.5 * size * (rad + 1) - 2.0 * size)),
+        max_rounds, dist2_expr=_haversine_hav() if hav else None)

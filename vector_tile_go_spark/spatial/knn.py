@@ -49,6 +49,44 @@ def _haversine_hav() -> Column:
             + F.cos(qphi) * F.cos(phi) * F.sin(dlmb) * F.sin(dlmb))
 
 
+def hav_box_margin(qlat: Column, qlng: Column, gxl, gxr, gyl, gyr,
+                   west_cov, east_cov, south_cov, north_cov) -> Column:
+    """Conservative sin(angle/2) lower bound on the great-circle distance
+    from (qlat, qlng) to any point OUTSIDE the lng/lat degree box
+    [gxl..gxr] x [gyl..gyr] — the haversine exactness margin, in the
+    sqrt-of-hav ranking space. Lat edges: central angle >= delta-lat
+    always. Lng edges: for a point inside the lat band beyond the edge,
+    sin(theta/2) >= sqrt(cos(qlat) * band-min-cos) * sin(dlng/2), with
+    dlng taking the SHORT WAY round the antimeridian (min(edge gap, wrap
+    gap to the region's far end at +-180)) so seam neighbors are never
+    wrongly excluded; cos is unimodal in lat, so the band minimum is at
+    an endpoint. ``*_cov`` Columns mark sides with no unsearched points
+    (grid border / past a pole): those contribute 2.0 (> any sin)."""
+    qphi = F.radians(qlat)
+    cmin = F.least(F.cos(F.radians(F.greatest(gyl, F.lit(-90.0)))),
+                   F.cos(F.radians(F.least(gyr, F.lit(90.0)))))
+
+    def lng_edge_sin(dlng_deg):
+        half = F.radians(dlng_deg) / 2.0
+        return (F.sqrt(F.greatest(F.cos(qphi) * cmin, F.lit(0.0)))
+                * F.sin(F.least(half, F.lit(math.pi / 2.0))))
+
+    def lat_edge_sin(dlat_deg):
+        return F.sin(F.least(F.radians(dlat_deg) / 2.0,
+                             F.lit(math.pi / 2.0)))
+
+    d_w = F.least(qlng - gxl, (180.0 - qlng))
+    d_e = F.least(gxr - qlng, (qlng + 180.0))
+    return F.least(
+        F.when(west_cov, F.lit(2.0)).otherwise(lng_edge_sin(d_w)),
+        F.when(east_cov, F.lit(2.0)).otherwise(lng_edge_sin(d_e)),
+        F.when(south_cov, F.lit(2.0))
+        .otherwise(lat_edge_sin(qlat - gyl)),
+        F.when(north_cov, F.lit(2.0))
+        .otherwise(lat_edge_sin(gyr - qlat)),
+    )
+
+
 def escalating_knn(q: DataFrame, p: DataFrame, k: int, qkey: str,
                    expand_fn, join_on, drop_cols: tuple[str, ...],
                    margin_fn, max_rounds: int,
@@ -175,46 +213,15 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int = 5,
         )
 
     def margin_hav(rad):
-        # Conservative covered great-circle radius of the searched box,
-        # expressed as sin(angle/2) — the sqrt of the hav ranking value.
-        # Lat edges: central angle >= delta-lat always, so the meridian
-        # arc to the band edge lower-bounds any point beyond it.
-        # Lng edges: for a point inside the lat band beyond the edge,
-        # hav(theta) >= cos(qlat) * min-band-cos * hav(dlng), i.e.
-        # sin(theta/2) >= sqrt(cos*cmin) * sin(dlng/2) directly — no asin
-        # needed in this space. The effective dlng takes the SHORT WAY
-        # round the antimeridian (min(edge gap, wrap gap to the region's
-        # far end at +-180)), so seam-adjacent neighbors can never be
-        # wrongly excluded. cos is unimodal in lat, so the band minimum
-        # is at an endpoint. Covered sides use 2.0 (> any sin) as the
-        # infinite margin.
+        # hav_box_margin over the searched cell box; grid-border sides
+        # carry no unsearched points
         gxl, gxr, gyl, gyr = _box(rad)
-        qphi = F.radians(F.col("qlat"))
-        cmin = F.least(
-            F.cos(F.radians(F.greatest(gyl, F.lit(-90.0)))),
-            F.cos(F.radians(F.least(gyr, F.lit(90.0)))))
-
-        def lng_edge_sin(dlng_deg):
-            half = F.radians(dlng_deg) / 2.0
-            return (F.sqrt(F.greatest(F.cos(qphi) * cmin, F.lit(0.0)))
-                    * F.sin(F.least(half, F.lit(math.pi / 2.0))))
-
-        def lat_edge_sin(dlat_deg):
-            return F.sin(F.least(F.radians(dlat_deg) / 2.0,
-                                 F.lit(math.pi / 2.0)))
-
-        d_w = F.least(F.col("qlng") - gxl, (180.0 - F.col("qlng")))
-        d_e = F.least(gxr - F.col("qlng"), (F.col("qlng") + 180.0))
-        return F.least(
-            F.when((F.col("gx") - rad) <= 0, F.lit(2.0))
-            .otherwise(lng_edge_sin(d_w)),
-            F.when((F.col("gx") + rad) >= cells.GRID_NX - 1, F.lit(2.0))
-            .otherwise(lng_edge_sin(d_e)),
-            F.when((F.col("gy") - rad) <= 0, F.lit(2.0))
-            .otherwise(lat_edge_sin(F.col("qlat") - gyl)),
-            F.when((F.col("gy") + rad) >= cells.GRID_NY - 1, F.lit(2.0))
-            .otherwise(lat_edge_sin(gyr - F.col("qlat"))),
-        )
+        return hav_box_margin(
+            F.col("qlat"), F.col("qlng"), gxl, gxr, gyl, gyr,
+            west_cov=(F.col("gx") - rad) <= 0,
+            east_cov=(F.col("gx") + rad) >= cells.GRID_NX - 1,
+            south_cov=(F.col("gy") - rad) <= 0,
+            north_cov=(F.col("gy") + rad) >= cells.GRID_NY - 1)
 
     hav = metric == "haversine"
     return escalating_knn(
