@@ -202,9 +202,9 @@ def test_geom_bulk_fuzz_byte_identity():
     import vector_tile_go_spark.tilemath as tm
     rng = np.random.default_rng(42)
     z = 6
-    for trial in range(6):
+    for trial in range(10):
         gt = ["LineString", "MultiLineString", "Polygon",
-              "MultiPolygon"][trial % 4]
+              "MultiPolygon", "MultiPoint"][trial % 5]
         x = int(rng.integers(0, 2**z))
         y = int(rng.integers(0, 2**z))
         w, s, e, n = tm.tile_bounds(z, x, y)
@@ -234,6 +234,11 @@ def test_geom_bulk_fuzz_byte_identity():
                 rows.append([ring(2) for _ in range(int(rng.integers(1, 4)))])
             elif gt == "Polygon":
                 rows.append([ring() for _ in range(int(rng.integers(1, 3)))])
+            elif gt == "MultiPoint":
+                pts = [rpt() for _ in range(int(rng.integers(1, 6)))]
+                if rng.random() < 0.4:           # sub-quantum duplicate
+                    pts.insert(1, [pts[0][0] + 1e-12, pts[0][1]])
+                rows.append(pts)
             else:
                 rows.append([[ring() for _ in range(int(rng.integers(1, 3)))]
                              for _ in range(int(rng.integers(1, 3)))])
@@ -279,3 +284,28 @@ def test_is_4level_skips_empty_prefix():
     assert not _is_4level([tri])               # 3-level
     assert not _is_4level([[], tri])           # 3-level, empty first ring
     assert not _is_4level([])
+
+
+def test_geom_bulk_multipoint_byte_identity():
+    """MultiPoint through the bulk kernel: one MoveTo header with the
+    ORIGINAL point count, zero-delta duplicates dropped from the stream
+    (write_geometry.go:338-344) — byte-identical to the scalar path."""
+    import vector_tile_go_spark.tilemath as tm
+    z, x, y = 7, 41, 53
+    w, s, e, n = tm.tile_bounds(z, x, y)
+
+    def pt(fx, fy):
+        return [w + fx * (e - w), s + fy * (n - s)]
+
+    rows = [
+        [pt(.1, .1), pt(.5, .5), pt(.5 + 1e-12, .5), pt(.9, .2)],  # dup
+        [pt(.3, .3)],
+        [pt(.2, .8), pt(.2, .8), pt(.7, .7)],                       # dup
+    ]
+    rows_by_tile = {(z, x, y): rows, (z, x + 1, y): rows[:1]}
+    props = {(z, x, y): [{"nk": str(i)} for i in range(len(rows))],
+             (z, x + 1, y): [{"nk": "9"}]}
+    ids = {(z, x, y): [1, 2, 3], (z, x + 1, y): [7]}
+    scalar, bulk = _bulk_vs_scalar("MultiPoint", rows_by_tile, props, ids)
+    for i, (sb, bb) in enumerate(zip(scalar, bulk)):
+        assert sb == bb, f"MultiPoint tile {i} diverges"

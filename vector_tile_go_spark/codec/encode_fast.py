@@ -330,12 +330,18 @@ def encode_geom_tiles_bulk(z, x_arr, y_arr, ids, prop_cols,
     nondecreasing, ``ring_first_of_poly`` (R,) bool (exterior-ring flag;
     ignored for lines). LineString features whose single run collapses are
     aborted exactly like add_feature (write_feature.go:57-59); degenerate
-    MultiLineString parts are truncated in place (write_geometry.go:160).
+    MultiLineString parts are truncated in place (write_geometry.go:160);
+    MultiPoint emits one MoveTo header with the original point count and
+    drops zero-delta duplicates (write_geometry.go:338-344) — every
+    geometry type now shares this one cost model, like the reference's
+    builders.
 
     Returns (list of layer bytes per tile, encoded-feature count per
     tile)."""
-    geom_int = 2 if geom_type in ("LineString", "MultiLineString") else 3
+    geom_int = {"MultiPoint": 1, "LineString": 2,
+                "MultiLineString": 2}.get(geom_type, 3)
     is_poly = geom_int == 3
+    is_mpoint = geom_int == 1
     starts = np.asarray(starts, np.int64)
     ends = np.asarray(ends, np.int64)
     ntiles = len(starts)
@@ -412,10 +418,19 @@ def encode_geom_tiles_bulk(z, x_arr, y_arr, ids, prop_cols,
     zzy = tm.zigzag_encode(dy).astype(np.uint64)
 
     is_start = idx_within == 0
-    keepnz = (~is_start) & ((dx != 0) | (dy != 0))
+    if is_mpoint:
+        # MakeMultiPointFloat (write_geometry.go:338-344): ONE MoveTo
+        # header with count = len(points), then LinePoint over every
+        # point from the cursor — zero deltas dropped, header count kept
+        keepnz = (dx != 0) | (dy != 0)
+    else:
+        keepnz = (~is_start) & ((dx != 0) | (dy != 0))
     cnt = np.bincount(ring_of_vert[keepnz], minlength=nrings) if nv \
         else np.zeros(nrings, np.int64)
-    if is_poly:
+    if is_mpoint:
+        emit = np.ones(nrings, bool)
+        ring_nvals = 1 + 2 * cnt              # header + kept pairs
+    elif is_poly:
         emit = np.ones(nrings, bool)
         ring_nvals = 4 + 2 * cnt + 1          # +1 = ClosePath
     else:
@@ -433,17 +448,25 @@ def encode_geom_tiles_bulk(z, x_arr, y_arr, ids, prop_cols,
     vals = np.zeros(int(ring_nvals.sum()), np.uint64)
     if len(vals):
         vo = ring_voffs[emit]
-        vals[vo] = 9                                    # cmd(1,1) MoveTo
-        vals[vo + 1] = zzx[ring_starts[emit]]
-        vals[vo + 2] = zzy[ring_starts[emit]]
-        vals[vo + 3] = (2 + 8 * cnt[emit]).astype(np.uint64)  # cmd(2,count)
-        if is_poly:
-            vals[ring_voffs + ring_nvals - 1] = 15      # cmd(7,1) ClosePath
+        pair_off = 1 if is_mpoint else 4
+        if is_mpoint:
+            # cmd(1, n_points) — count from the ORIGINAL point list
+            vals[vo] = (1 + 8 * ring_lens[emit]).astype(np.uint64)
+        else:
+            vals[vo] = 9                                # cmd(1,1) MoveTo
+            vals[vo + 1] = zzx[ring_starts[emit]]
+            vals[vo + 2] = zzy[ring_starts[emit]]
+            vals[vo + 3] = (2 + 8 * cnt[emit]).astype(np.uint64)  # cmd(2,n)
+            if is_poly:
+                vals[ring_voffs + ring_nvals - 1] = 15  # cmd(7,1) ClosePath
         csum = np.cumsum(keepnz)
-        ring_base = csum[ring_starts]   # keepnz is False at ring starts
+        # count of kept vertices BEFORE each ring (exclusive — ring-start
+        # vertices can themselves be kept in MultiPoint mode)
+        ring_base = csum[ring_starts] - keepnz[ring_starts]
         k_idx = np.flatnonzero(keepnz)
         r_k = ring_of_vert[k_idx]
-        pos = ring_voffs[r_k] + 4 + 2 * (csum[k_idx] - ring_base[r_k] - 1)
+        pos = (ring_voffs[r_k] + pair_off
+               + 2 * (csum[k_idx] - ring_base[r_k] - 1))
         vals[pos] = zzx[k_idx]
         vals[pos + 1] = zzy[k_idx]
 
@@ -548,7 +571,7 @@ def flatten_geom_rows(geom_type: str, rows):
     work is np.asarray."""
     verts_parts, ring_lens, ring_feat, first = [], [], [], []
     for fi, c in enumerate(rows):
-        if geom_type == "LineString":
+        if geom_type in ("LineString", "MultiPoint"):
             rings, firsts = [c], [True]
         elif geom_type in ("MultiLineString", "Polygon"):
             rings = list(c)

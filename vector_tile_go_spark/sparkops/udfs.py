@@ -776,8 +776,8 @@ def transcode_geobuf_tiles(gb_tiles: DataFrame,
     return gb_tiles.mapInPandas(run, TILE_SCHEMA)
 
 
-_BULK_GEOM_TYPES = ("LineString", "MultiLineString", "Polygon",
-                    "MultiPolygon")
+_BULK_GEOM_TYPES = ("MultiPoint", "LineString", "MultiLineString",
+                    "Polygon", "MultiPolygon")
 
 
 def _stream_sorted_tile_groups(batches, emit, group_cols=("z", "x", "y")):
@@ -861,7 +861,7 @@ def encode_geom_tiles(features: DataFrame, geom_type: str,
         # element types themselves, so element-wise Python conversion
         # here would reintroduce the O(vertices) interpreter cost the
         # bulk kernel exists to remove
-        if geom_type == "LineString":
+        if geom_type in ("LineString", "MultiPoint"):
             return coords[0]
         if geom_type == "MultiPolygon" and not _is_4level(coords):
             return [[ring] for ring in coords]
