@@ -173,3 +173,35 @@ def test_bulk_geom_stream_multi_tile_batches(spark):
         want = encode_layer(feats, z, x, y, "g", extent_clamp=False)
         assert bytes(out[x]["tile_pbf"]) == want
         assert out[x]["n_features"] == 3
+
+
+def test_bulk_geom_stream_nonuniform_props_fallback(spark):
+    """Rows with differing prop-key sets fall back to the scalar encoder
+    INSIDE the bulk stream UDF — output bytes still equal encode_layer."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import vector_tile_go_spark.tilemath as tm
+    from vector_tile_go_spark.codec.encode import encode_layer
+    from vector_tile_go_spark.sparkops.udfs import encode_geom_tiles
+    z, x, y = 6, 10, 20
+    w, s, e, n = map(float, tm.tile_bounds(z, x, y))
+    tri1 = [[w + .1 * (e - w), s + .1 * (n - s)],
+            [w + .6 * (e - w), s + .2 * (n - s)],
+            [w + .3 * (e - w), s + .8 * (n - s)]]
+    tri2 = [[w + .2 * (e - w), s + .1 * (n - s)],
+            [w + .7 * (e - w), s + .3 * (n - s)],
+            [w + .4 * (e - w), s + .9 * (n - s)]]
+    rows = [(z, x, y, 1, [tri1], {"nk": "0"}),
+            (z, x, y, 2, [tri2], {"other": "1"})]   # different key set
+    df = spark.createDataFrame(
+        rows, "z int, x long, y long, feature_id long, "
+              "coords array<array<array<double>>>, "
+              "props map<string,string>")
+    out = encode_geom_tiles(df, "Polygon", layer_name="g").collect()
+    assert len(out) == 1
+    feats = [{"type": "Polygon", "coordinates": [tri1],
+              "properties": {"nk": "0"}, "id": 1},
+             {"type": "Polygon", "coordinates": [tri2],
+              "properties": {"other": "1"}, "id": 2}]
+    want = encode_layer(feats, z, x, y, "g", extent_clamp=False)
+    assert bytes(out[0]["tile_pbf"]) == want
